@@ -9,6 +9,23 @@ designed for vmap/shard_map scale-out on TPU meshes.
 
 __version__ = "0.1.0"
 
-from fireflies_tpu import sampling, utils  # noqa: F401
+from fireflies_tpu import emitter, entity, material, sampling, utils  # noqa: F401
+from fireflies_tpu.emitter import Light  # noqa: F401
+from fireflies_tpu.entity import Curve, Mesh, Transformable  # noqa: F401
+from fireflies_tpu.material import Material  # noqa: F401
+from fireflies_tpu.scene import Scene  # noqa: F401
 
-__all__ = ["sampling", "utils", "__version__"]
+__all__ = [
+    "Scene",
+    "Mesh",
+    "Transformable",
+    "Curve",
+    "Light",
+    "Material",
+    "sampling",
+    "utils",
+    "entity",
+    "emitter",
+    "material",
+    "__version__",
+]
