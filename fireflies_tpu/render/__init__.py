@@ -1,0 +1,50 @@
+"""TPU-native differentiable renderer (replaces Mitsuba, SURVEY.md §2 L0)."""
+
+from fireflies_tpu.render.bridge import SceneBridge
+from fireflies_tpu.render.integrators import (
+    random_depth_maps,
+    render_depth,
+    render_depth_differentiable,
+    render_from_laser,
+    render_segmentation,
+    render_shape_index,
+)
+from fireflies_tpu.render.intersect import hit_attributes, intersect_brute, occluded
+from fireflies_tpu.render.pathtracer import render_rgb, trace_rays
+from fireflies_tpu.render.rays import camera_rays, points_to_ndc, rays_from_ndc
+from fireflies_tpu.render.types import (
+    Camera,
+    Geometry,
+    Hit,
+    Lights,
+    Materials,
+    Projector,
+    RenderConfig,
+    RenderScene,
+)
+
+__all__ = [
+    "SceneBridge",
+    "RenderScene",
+    "RenderConfig",
+    "Camera",
+    "Projector",
+    "Lights",
+    "Materials",
+    "Geometry",
+    "Hit",
+    "render_rgb",
+    "trace_rays",
+    "render_depth",
+    "render_depth_differentiable",
+    "render_segmentation",
+    "render_shape_index",
+    "render_from_laser",
+    "random_depth_maps",
+    "intersect_brute",
+    "occluded",
+    "hit_attributes",
+    "camera_rays",
+    "points_to_ndc",
+    "rays_from_ndc",
+]

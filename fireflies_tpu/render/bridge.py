@@ -1,0 +1,256 @@
+"""Scene -> renderer bridge.
+
+The functional analog of Mitsuba's `params.update()` + scene-graph rebuild
+(reference scene.py:384): `SceneBridge` precomputes the static topology
+(face/material/light tables) from a `fireflies_tpu.Scene` once, and
+`assemble(params)` turns each randomized flat param dict into a `RenderScene`
+pytree — pure, jit/vmap-safe, differentiable.
+
+Typical use:
+
+    scene = ff.Scene(); ...build & randomize spec...
+    bridge = SceneBridge(scene, camera_fov=45.0)
+    randomize = scene.compile()
+    def render_variant(key, step):
+        return render_rgb(bridge.assemble(randomize(key, step)), key, config)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fireflies_tpu.render.types import (
+    LIGHT_POINT,
+    LIGHT_SPOT,
+    Camera,
+    Geometry,
+    Lights,
+    Materials,
+    Projector,
+    RenderScene,
+)
+from fireflies_tpu.scene import Scene
+
+Array = jax.Array
+
+_KIND_CODES = {"point": LIGHT_POINT, "spot": LIGHT_SPOT, "projector": LIGHT_SPOT}
+
+_MATERIAL_FIELDS = (
+    "base_color roughness metallic specular spec_tint clearcoat clearcoat_gloss "
+    "sheen sheen_tint anisotropic spec_trans flatness ior emission"
+).split()
+
+
+def _chw_to_hwc(tex: Array) -> Array:
+    """Accept (3, H, W) (NoiseTextureLerpSampler convention) or (H, W, 3)."""
+    if tex.ndim == 3 and tex.shape[0] == 3 and tex.shape[-1] != 3:
+        return jnp.moveaxis(tex, 0, -1)
+    return tex
+
+
+class SceneBridge:
+    def __init__(
+        self,
+        scene: Scene,
+        camera_fov: float = 45.0,
+        camera_near: float = 0.01,
+        camera_far: float = 1000.0,
+        projector_fov: float = 30.0,
+        projector_scale: float = 1.0,
+        projector_texture=None,
+        background=None,
+    ):
+        self._scene = scene
+        self._camera_fov = float(camera_fov)
+        self._camera_near = float(camera_near)
+        self._camera_far = float(camera_far)
+        self._projector_fov = float(projector_fov)
+        self._projector_scale = float(projector_scale)
+        self._projector_texture = (
+            np.asarray(projector_texture, np.float32)
+            if projector_texture is not None
+            else None
+        )
+        self._background = (
+            jnp.asarray(background, jnp.float32) if background is not None else None
+        )
+
+        # ---- static topology ------------------------------------------------
+        self._mesh_names = [m.name() for m in scene.meshes()]
+        mat_index = {m.name(): i for i, m in enumerate(scene.materials())}
+        binding = scene.mesh_material_binding()
+
+        faces_list, face_mesh, face_mat, uvs_list = [], [], [], []
+        offset = 0
+        any_uv = any(m.uvs() is not None for m in scene.meshes())
+        for mi, mesh in enumerate(scene.meshes()):
+            f = mesh.faces()
+            if f is None:
+                raise ValueError(f"mesh {mesh.name()} has no faces")
+            faces_list.append(f + offset)
+            face_mesh.append(np.full(len(f), mi, np.int32))
+            mat_name = binding.get(mesh.name())
+            mat_id = mat_index.get(mat_name, 0) if mat_name else 0
+            face_mat.append(np.full(len(f), mat_id, np.int32))
+            if any_uv:
+                uv = mesh.uvs()
+                if uv is None or uv.shape[0] != mesh.num_vertices():
+                    uv = np.zeros((mesh.num_vertices(), 2), np.float32)
+                uvs_list.append(uv)
+            offset += mesh.num_vertices()
+
+        self._faces = np.concatenate(faces_list).astype(np.int32)
+        self._face_mesh = np.concatenate(face_mesh)
+        self._face_mat = np.concatenate(face_mat)
+        self._uvs = np.concatenate(uvs_list).astype(np.float32) if any_uv else None
+
+        # Which materials carry textures (static or sampled).
+        self._n_materials = max(len(scene.materials()), 1)
+        self._texture_mats = [
+            i
+            for i, m in enumerate(scene.materials())
+            if m.texture() is not None
+            or any("base_color.data" in k for k in m.vec3_attributes())
+        ]
+
+    # ------------------------------------------------------------------
+
+    def assemble(self, params: dict[str, Array]) -> RenderScene:
+        scene = self._scene
+
+        verts = jnp.concatenate(
+            [params[name + ".vertex_positions"] for name in self._mesh_names]
+        )
+        geometry = Geometry(
+            vertices=verts,
+            faces=jnp.asarray(self._faces),
+            face_mat=jnp.asarray(self._face_mat),
+            face_mesh=jnp.asarray(self._face_mesh),
+            uvs=jnp.asarray(self._uvs) if self._uvs is not None else None,
+        )
+
+        # ---- materials ------------------------------------------------------
+        mats = scene.materials()
+        if mats:
+            fields = {}
+            for field in _MATERIAL_FIELDS:
+                rows = []
+                for m in mats:
+                    val = params[m.name() + "." + field]
+                    val = jnp.asarray(val, jnp.float32)
+                    want_vec = field in ("base_color", "emission")
+                    if want_vec:
+                        rows.append(jnp.broadcast_to(val.reshape(-1)[:3], (3,)) if val.size >= 3 else jnp.full((3,), val.reshape(()), jnp.float32))
+                    else:
+                        rows.append(val.reshape(-1)[0])
+                fields[field] = jnp.stack(rows)
+            materials = Materials(**fields)
+            if self._texture_mats:
+                tex_rows, has_tex = [], []
+                tex_shape = None
+                for i, m in enumerate(mats):
+                    key = m.name() + ".base_color.data"
+                    if i in self._texture_mats and key in params:
+                        t = _chw_to_hwc(jnp.asarray(params[key], jnp.float32))
+                        tex_shape = t.shape
+                        tex_rows.append(t)
+                        has_tex.append(True)
+                    else:
+                        tex_rows.append(None)
+                        has_tex.append(False)
+                assert tex_shape is not None
+                tex_rows = [
+                    t if t is not None else jnp.zeros(tex_shape, jnp.float32)
+                    for t in tex_rows
+                ]
+                materials = materials.replace(
+                    textures=jnp.stack(tex_rows), has_texture=jnp.asarray(has_tex)
+                )
+        else:
+            materials = Materials.default(1)
+
+        # ---- lights ---------------------------------------------------------
+        light_ents = scene.lights()
+        if light_ents:
+            kinds, to_worlds, intensities, cutoffs, beams = [], [], [], [], []
+            for li in light_ents:
+                name = li.name()
+                kinds.append(_KIND_CODES.get(li.kind(), LIGHT_POINT))
+                to_worlds.append(params[name + ".to_world"])
+                intensity = params.get(name + ".intensity")
+                if intensity is None:
+                    intensity = jnp.asarray(
+                        li.defaults().get("intensity", (1.0, 1.0, 1.0)), jnp.float32
+                    )
+                intensities.append(jnp.asarray(intensity, jnp.float32).reshape(-1)[:3])
+                cutoff_deg = params.get(name + ".cutoff_angle")
+                if cutoff_deg is None:
+                    cutoff_deg = jnp.asarray(
+                        li.defaults().get("cutoff_angle", 20.0), jnp.float32
+                    )
+                cutoff_deg = jnp.asarray(cutoff_deg, jnp.float32).reshape(())
+                beam_deg = jnp.asarray(
+                    li.defaults().get("beam_width", None) or cutoff_deg * 0.75,
+                    jnp.float32,
+                )
+                cutoffs.append(jnp.cos(jnp.deg2rad(cutoff_deg)))
+                beams.append(jnp.cos(jnp.deg2rad(beam_deg)))
+            lights = Lights(
+                kinds=jnp.asarray(kinds, jnp.int32),
+                to_world=jnp.stack(to_worlds),
+                intensity=jnp.stack(intensities),
+                cutoff_cos=jnp.stack(cutoffs),
+                beam_cos=jnp.stack(beams),
+                active=jnp.ones((len(light_ents),), bool),
+            )
+        else:
+            lights = Lights.empty()
+
+        # ---- camera ---------------------------------------------------------
+        cam_ent = scene.camera()
+        if cam_ent is None:
+            raise ValueError("scene has no camera")
+        cam_name = cam_ent.name()
+        fov = params.get(cam_name + ".fov", jnp.asarray(self._camera_fov, jnp.float32))
+        camera = Camera.create(
+            params[cam_name + ".to_world"],
+            fov=jnp.asarray(fov, jnp.float32).reshape(-1)[0],
+            near=self._camera_near,
+            far=self._camera_far,
+        )
+
+        # ---- projector ------------------------------------------------------
+        projector: Optional[Projector] = None
+        proj_ent = scene.projector()
+        if proj_ent is not None:
+            pname = proj_ent.name()
+            tex = params.get("tex.data", params.get(pname + ".irradiance.data"))
+            if tex is None:
+                if self._projector_texture is not None:
+                    tex = jnp.asarray(self._projector_texture)
+                else:
+                    tex = jnp.ones((8, 8, 3), jnp.float32)
+            tex = _chw_to_hwc(jnp.asarray(tex, jnp.float32))
+            pfov = params.get(pname + ".fov", jnp.asarray(self._projector_fov, jnp.float32))
+            projector = Projector.create(
+                params[pname + ".to_world"],
+                texture=tex,
+                fov=jnp.asarray(pfov, jnp.float32).reshape(-1)[0],
+                near=self._camera_near,
+                far=self._camera_far,
+                scale=self._projector_scale,
+            )
+
+        return RenderScene(
+            geometry=geometry,
+            materials=materials,
+            lights=lights,
+            camera=camera,
+            projector=projector,
+            background=self._background,
+        )

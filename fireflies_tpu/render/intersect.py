@@ -1,0 +1,213 @@
+"""Ray/triangle intersection (pure-JAX reference path).
+
+Replaces `scene.ray_intersect` of the Mitsuba backend (reference
+fireflies/graphics/depth.py:77).  Möller-Trumbore over triangle chunks with a
+running best-hit carried through `lax.scan`, so peak memory is
+O(rays x tri_chunk) regardless of scene size.  All math is f32 VPU work with
+big static shapes — XLA tiles it well on TPU; the Pallas kernel
+(fireflies_tpu.render.pallas.intersect) is the fused hot path and must agree
+with this one bit-for-bit-ish (tested).
+
+Differentiation: traversal returns integer prim ids (inherently
+non-differentiable); `hit_attributes` re-derives (t, u, v, position, normal)
+differentiably from the chosen primitive — the standard detached-traversal
+trick, giving correct gradients w.r.t. vertices and ray origin/direction
+everywhere except across silhouettes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fireflies_tpu.render.types import Geometry, Hit
+
+Array = jax.Array
+
+_EPS_DET = 1e-9
+# Slightly conservative barycentric bounds: rays grazing a shared edge hit at
+# least one of the adjacent triangles instead of slipping through the seam.
+_EPS_BARY = 1e-6
+_BIG = jnp.float32(3.4e38)
+
+
+def _mt_chunk(o: Array, d: Array, v0: Array, e1: Array, e2: Array):
+    """Möller-Trumbore for all (ray, tri) pairs.
+
+    o, d: (N, 3); v0, e1, e2: (C, 3).  Returns t, u, v, valid of shape (N, C).
+    """
+    pvec = jnp.cross(d[:, None, :], e2[None, :, :])  # (N, C, 3)
+    det = jnp.sum(e1[None] * pvec, axis=-1)  # (N, C)
+    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    tvec = o[:, None, :] - v0[None, :, :]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) >= _EPS_DET)
+        & (u >= -_EPS_BARY)
+        & (v >= -_EPS_BARY)
+        & (u + v <= 1.0 + _EPS_BARY)
+    )
+    return t, u, v, valid
+
+
+def _per_ray(bound) -> Array:
+    """Normalize a scalar or (N,) t-bound for broadcasting against (N, C)."""
+    bound = jnp.asarray(bound, jnp.float32)
+    return bound[:, None] if bound.ndim == 1 else bound
+
+
+def intersect_brute(
+    o: Array,
+    d: Array,
+    geometry: Geometry,
+    t_min: float | Array = 1e-4,
+    t_max: float | Array = 1e30,
+    tri_chunk: int = 512,
+) -> Hit:
+    """Closest-hit query. o, d: (N, 3) world-space rays (d need not be unit —
+    t is in units of |d|). Returns Hit with prim = -1 on miss."""
+    v0, e1, e2 = geometry.triangle_corners()
+    n_tri = v0.shape[0]
+    n_rays = o.shape[0]
+
+    chunk = max(min(tri_chunk, n_tri), 1)
+    n_chunks = -(-n_tri // chunk)
+    pad = n_chunks * chunk - n_tri
+    if pad:
+        # Degenerate padding triangles never intersect (zero-area at origin).
+        zpad = jnp.zeros((pad, 3), v0.dtype)
+        v0 = jnp.concatenate([v0, zpad])
+        e1 = jnp.concatenate([e1, zpad])
+        e2 = jnp.concatenate([e2, zpad])
+
+    v0c = v0.reshape(n_chunks, chunk, 3)
+    e1c = e1.reshape(n_chunks, chunk, 3)
+    e2c = e2.reshape(n_chunks, chunk, 3)
+    base_ids = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    t_min = _per_ray(t_min)
+    t_max = _per_ray(t_max)
+
+    def body(carry, chunk_data):
+        best_t, best_prim, best_u, best_v = carry
+        cv0, ce1, ce2, base = chunk_data
+        t, u, v, valid = _mt_chunk(o, d, cv0, ce1, ce2)
+        valid &= (t > t_min) & (t < t_max)
+        t = jnp.where(valid, t, _BIG)
+        j = jnp.argmin(t, axis=-1)  # (N,)
+        rows = jnp.arange(n_rays)
+        tj = t[rows, j]
+        better = tj < best_t
+        best_prim = jnp.where(better, base + j.astype(jnp.int32), best_prim)
+        best_u = jnp.where(better, u[rows, j], best_u)
+        best_v = jnp.where(better, v[rows, j], best_v)
+        best_t = jnp.where(better, tj, best_t)
+        return (best_t, best_prim, best_u, best_v), None
+
+    init = (
+        jnp.full((n_rays,), _BIG, jnp.float32),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays,), jnp.float32),
+        jnp.zeros((n_rays,), jnp.float32),
+    )
+    (best_t, best_prim, best_u, best_v), _ = jax.lax.scan(
+        body, init, (v0c, e1c, e2c, base_ids)
+    )
+    valid = best_prim >= 0
+    return Hit(
+        t=jnp.where(valid, best_t, 0.0),
+        prim=best_prim,
+        u=best_u,
+        v=best_v,
+        valid=valid,
+    )
+
+
+def occluded(
+    o: Array,
+    d: Array,
+    geometry: Geometry,
+    t_min: float | Array = 1e-4,
+    t_max: float | Array = 1.0,
+    tri_chunk: int = 512,
+) -> Array:
+    """Any-hit query for shadow rays: True where segment [t_min, t_max] along
+    d is blocked.  t_max is in units of |d| (pass 1.0 with d = light - p)."""
+    v0, e1, e2 = geometry.triangle_corners()
+    n_tri = v0.shape[0]
+    chunk = max(min(tri_chunk, n_tri), 1)
+    n_chunks = -(-n_tri // chunk)
+    pad = n_chunks * chunk - n_tri
+    if pad:
+        zpad = jnp.zeros((pad, 3), v0.dtype)
+        v0 = jnp.concatenate([v0, zpad])
+        e1 = jnp.concatenate([e1, zpad])
+        e2 = jnp.concatenate([e2, zpad])
+
+    v0c = v0.reshape(n_chunks, chunk, 3)
+    e1c = e1.reshape(n_chunks, chunk, 3)
+    e2c = e2.reshape(n_chunks, chunk, 3)
+    t_min = _per_ray(t_min)
+    t_max = _per_ray(t_max)
+
+    def body(blocked, chunk_data):
+        cv0, ce1, ce2 = chunk_data
+        t, _, _, valid = _mt_chunk(o, d, cv0, ce1, ce2)
+        hit = valid & (t > t_min) & (t < t_max)
+        return blocked | jnp.any(hit, axis=-1), None
+
+    blocked, _ = jax.lax.scan(
+        body, jnp.zeros((o.shape[0],), bool), (v0c, e1c, e2c)
+    )
+    return blocked
+
+
+def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
+    """Differentiable surface attributes for a (detached) hit.
+
+    Recomputes t, u, v with Möller-Trumbore on the *selected* primitive so
+    gradients flow to vertices and rays.  Returns dict with:
+      position (N,3), normal (N,3 geometric, unit), t (N,), u, v,
+      mat_id (N,), mesh_id (N,), uv (N,2 texture coords if geometry.uvs).
+    Missing rays yield zeros (mask with hit.valid).
+    """
+    prim = jnp.maximum(hit.prim, 0)
+    faces = geometry.faces[prim]  # (N, 3)
+    p0 = geometry.vertices[faces[:, 0]]
+    p1 = geometry.vertices[faces[:, 1]]
+    p2 = geometry.vertices[faces[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+
+    w = 1.0 - u - v
+    position = w[:, None] * p0 + u[:, None] * p1 + v[:, None] * p2
+    normal = jnp.cross(e1, e2)
+    normal = normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-20)
+
+    out = {
+        "position": position,
+        "normal": normal,
+        "t": t,
+        "u": u,
+        "v": v,
+        "mat_id": geometry.face_mat[prim],
+        "mesh_id": geometry.face_mesh[prim],
+    }
+    if geometry.uvs is not None:
+        uv0 = geometry.uvs[faces[:, 0]]
+        uv1 = geometry.uvs[faces[:, 1]]
+        uv2 = geometry.uvs[faces[:, 2]]
+        out["uv"] = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+    return out

@@ -1,0 +1,161 @@
+"""Light sampling and evaluation (point / spot / projector).
+
+Replaces Mitsuba's emitter plugins for the set the reference uses: spot
+emitters with `intensity.value` (main.py:119-123) and the projector —
+a textured spotlight carrying the laser pattern ("tex.data", main.py:64-77).
+
+All emitters here are *delta* lights (positional), so next-event estimation
+needs no MIS against BSDF sampling; area lights ride emissive materials in
+the path tracer.
+
+Convention: a spot/projector emitter looks down its local -Z (same as the
+camera), matching the projection subsystem's NDC round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fireflies_tpu.render.texture import bilinear_sample
+from fireflies_tpu.render.types import LIGHT_POINT, LIGHT_SPOT, Lights, Projector
+from fireflies_tpu.utils import math as ffmath
+
+Array = jax.Array
+
+
+def spot_falloff(cos_angle: Array, cutoff_cos: Array, beam_cos: Array) -> Array:
+    """Mitsuba-style smooth spot falloff: 1 inside the beam, linear in cosine
+    down to the cutoff, 0 outside."""
+    denom = jnp.maximum(beam_cos - cutoff_cos, 1e-6)
+    return jnp.clip((cos_angle - cutoff_cos) / denom, 0.0, 1.0)
+
+
+def eval_light(lights: Lights, index: int, p: Array):
+    """Radiance arriving at points p (N, 3) from light slot `index`.
+
+    Returns (wi, dist, radiance): unit direction to the light, distance, and
+    incident radiance (N, 3) including falloff and 1/r^2 (zero if inactive).
+    """
+    to_world = lights.to_world[index]
+    pos = to_world[:3, 3]
+    kind = lights.kinds[index]
+    intensity = lights.intensity[index]
+
+    delta = pos[None, :] - p
+    dist = jnp.linalg.norm(delta, axis=-1)
+    wi = delta / (dist[:, None] + 1e-20)
+
+    inv_r2 = 1.0 / jnp.maximum(dist * dist, 1e-12)
+    radiance = intensity[None, :] * inv_r2[:, None]
+
+    # Spot falloff: angle between the emitter's -Z axis and the direction
+    # from the light to the point.
+    fwd = -to_world[:3, 2]
+    cos_angle = jnp.sum((-wi) * fwd[None, :], axis=-1)
+    falloff = spot_falloff(cos_angle, lights.cutoff_cos[index], lights.beam_cos[index])
+    radiance = jnp.where(
+        (kind == LIGHT_SPOT), radiance * falloff[:, None], radiance
+    )
+
+    active = lights.active[index]
+    radiance = jnp.where(active, radiance, 0.0)
+    return wi, dist, radiance
+
+
+def eval_projector(projector: Projector, p: Array):
+    """Incident radiance from the projector at points p (N, 3).
+
+    The pattern texture is sampled at the projector-NDC footprint of each
+    point — differentiable w.r.t. the texture (this is the gradient path for
+    laser-pattern optimization through full renders).
+    """
+    to_world = projector.to_world
+    pos = to_world[:3, 3]
+    delta = pos[None, :] - p
+    dist = jnp.linalg.norm(delta, axis=-1)
+    wi = delta / (dist[:, None] + 1e-20)
+
+    # Transform points into projector NDC.
+    world_to_proj = jnp.linalg.inv(to_world)
+    view = ffmath.transform_points(p, world_to_proj)
+    depth = -view[:, 2]
+    tan_half = jnp.tan(jnp.deg2rad(projector.fov) / 2.0)
+    safe = jnp.where(depth < 1e-6, 1e-6, depth)
+    ndc_x = view[:, 0] / (safe * tan_half)
+    ndc_y = view[:, 1] / (safe * tan_half)
+
+    uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
+    tex = bilinear_sample(projector.texture, uv)
+
+    in_frustum = (
+        (depth > projector.near)
+        & (depth < projector.far)
+        & (jnp.abs(ndc_x) <= 1.0)
+        & (jnp.abs(ndc_y) <= 1.0)
+    )
+    inv_r2 = 1.0 / jnp.maximum(dist * dist, 1e-12)
+    radiance = tex * (projector.scale * inv_r2)[:, None]
+    radiance = jnp.where(in_frustum[:, None], radiance, 0.0)
+    return wi, dist, radiance
+
+
+def sample_one_light(
+    lights: Lights,
+    projector: Optional[Projector],
+    p: Array,
+    key: Array,
+):
+    """Uniformly pick one emitter per shading point (NEE).
+
+    Returns (wi, dist, radiance_over_pdf).  With L light slots (+1 if a
+    projector exists) the pdf is 1/total, applied here.
+    """
+    n_lights = lights.count
+    total = n_lights + (1 if projector is not None else 0)
+    if total == 0:
+        zeros = jnp.zeros_like(p)
+        return zeros, jnp.zeros(p.shape[0]), zeros
+
+    choice = jax.random.randint(key, (p.shape[0],), 0, total)
+
+    wi_all, dist_all, rad_all = [], [], []
+    for i in range(n_lights):
+        wi, dist, rad = eval_light(lights, i, p)
+        wi_all.append(wi)
+        dist_all.append(dist)
+        rad_all.append(rad)
+    if projector is not None:
+        wi, dist, rad = eval_projector(projector, p)
+        wi_all.append(wi)
+        dist_all.append(dist)
+        rad_all.append(rad)
+
+    wi_s = jnp.stack(wi_all)  # (total, N, 3)
+    dist_s = jnp.stack(dist_all)
+    rad_s = jnp.stack(rad_all)
+
+    rows = jnp.arange(p.shape[0])
+    wi = wi_s[choice, rows]
+    dist = dist_s[choice, rows]
+    rad = rad_s[choice, rows] * float(total)  # / pdf
+    return wi, dist, rad
+
+
+def total_incident(lights: Lights, projector: Optional[Projector], p: Array):
+    """Sum of incident radiance from every delta emitter (deterministic NEE —
+    exact for few lights, used when config.deterministic_nee)."""
+    acc_wi, acc_dist, acc_rad = [], [], []
+    for i in range(lights.count):
+        wi, dist, rad = eval_light(lights, i, p)
+        acc_wi.append(wi)
+        acc_dist.append(dist)
+        acc_rad.append(rad)
+    if projector is not None:
+        wi, dist, rad = eval_projector(projector, p)
+        acc_wi.append(wi)
+        acc_dist.append(dist)
+        acc_rad.append(rad)
+    return acc_wi, acc_dist, acc_rad

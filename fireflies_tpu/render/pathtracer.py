@@ -1,0 +1,167 @@
+"""Differentiable path tracer.
+
+The TPU-native replacement for `mi.render` (reference main.py:156,
+examples/01_hello_world.py:29): a wavefront integrator with
+
+  * static shapes throughout: spp via `lax.scan`, bounces as a static Python
+    loop (max_bounces is small), masked inactive rays instead of compaction;
+  * deterministic next-event estimation over every delta emitter (point /
+    spot / projector) — exact for the few-light scenes this framework
+    targets, drastically lower variance than one-light sampling;
+  * BSDF importance sampling for indirect bounces; emissive materials are
+    picked up on any hit (no area-light NEE yet — roadmapped);
+  * detached traversal + differentiable shading: gradients flow to material
+    params, light intensity, the projector texture (pattern optimization!),
+    vertices and poses through `hit_attributes`.
+
+Everything is pure: `render_rgb(scene, key, config)` jits, vmaps across
+scene variants, and reverse-differentiates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fireflies_tpu.render import bsdf as bsdf_mod
+from fireflies_tpu.render import lights as lights_mod
+from fireflies_tpu.render.intersect import hit_attributes, intersect_brute, occluded
+from fireflies_tpu.render.rays import camera_rays
+from fireflies_tpu.render.texture import bilinear_sample_stack
+from fireflies_tpu.render.types import RenderConfig, RenderScene
+
+Array = jax.Array
+
+_SHADOW_EPS = 1e-3
+
+
+def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
+    """Override base_color with texture lookups where materials carry one."""
+    if scene.materials.textures is None or "uv" not in attrs:
+        return params
+    tex_color = bilinear_sample_stack(
+        scene.materials.textures, attrs["mat_id"], attrs["uv"]
+    )
+    has_tex = scene.materials.has_texture[attrs["mat_id"]]
+    base = jnp.where(has_tex[:, None], tex_color, params["base_color"])
+    out = dict(params)
+    out["base_color"] = base
+    return out
+
+
+def trace_rays(
+    scene: RenderScene,
+    o: Array,
+    d: Array,
+    key: Array,
+    config: RenderConfig,
+) -> Array:
+    """Path-trace radiance for rays (N, 3); returns (N, 3)."""
+    n_rays = o.shape[0]
+    radiance = jnp.zeros((n_rays, 3), jnp.float32)
+    throughput = jnp.ones((n_rays, 3), jnp.float32)
+    active = jnp.ones((n_rays,), bool)
+    background = (
+        scene.background
+        if scene.background is not None
+        else jnp.zeros(3, jnp.float32)
+    )
+
+    for bounce in range(config.max_bounces):
+        bkey = jax.random.fold_in(key, bounce)
+        hit = intersect_brute(o, d, scene.geometry, tri_chunk=config.tri_chunk)
+        hit = jax.tree.map(jax.lax.stop_gradient, hit)
+
+        # Background contribution for escaping rays, then retire them.
+        escaped = active & ~hit.valid
+        radiance = radiance + jnp.where(
+            escaped[:, None], throughput * background[None, :], 0.0
+        )
+        active = active & hit.valid
+
+        attrs = hit_attributes(o, d, hit, scene.geometry)
+        p = attrs["position"]
+        n_geo = attrs["normal"]
+        # Face the normal against the incoming ray.
+        flip = jnp.sign(-jnp.sum(n_geo * d, axis=-1))
+        flip = jnp.where(flip == 0, 1.0, flip)
+        n = n_geo * flip[:, None]
+        wo = -d
+
+        params = bsdf_mod.gather_params(scene.materials, attrs["mat_id"])
+        params = _shading_base_color(scene, params, attrs)
+
+        # Emissive surfaces contribute directly on any hit.
+        radiance = radiance + jnp.where(
+            active[:, None], throughput * params["emission"], 0.0
+        )
+
+        # ---- Next-event estimation over every delta emitter --------------
+        wi_list, dist_list, rad_list = lights_mod.total_incident(
+            scene.lights, scene.projector, p
+        )
+        shadow_o = p + n * _SHADOW_EPS
+        for wi_l, dist_l, rad_l in zip(wi_list, dist_list, rad_list):
+            lit = jnp.any(rad_l > 0.0, axis=-1) & active
+            blocked = occluded(
+                shadow_o,
+                wi_l,
+                scene.geometry,
+                t_min=_SHADOW_EPS,
+                t_max=dist_l - _SHADOW_EPS,
+                tri_chunk=config.tri_chunk,
+            )
+            blocked = jax.lax.stop_gradient(blocked)
+            f = bsdf_mod.evaluate(params, n, wo, wi_l)
+            cos_i = jnp.maximum(jnp.sum(n * wi_l, axis=-1), 0.0)
+            contrib = throughput * f * rad_l * cos_i[:, None]
+            use = lit & ~blocked
+            radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
+
+        # ---- Indirect bounce --------------------------------------------
+        if bounce + 1 < config.max_bounces:
+            wi, pdf, f = bsdf_mod.sample(params, n, wo, jax.random.fold_in(bkey, 1))
+            cos_i = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
+            safe_pdf = jnp.maximum(pdf, 1e-6)
+            weight = jnp.where(pdf > 1e-6, cos_i / safe_pdf, 0.0)
+            throughput = throughput * f * weight[:, None]
+            active = active & (jnp.max(throughput, axis=-1) > 1e-5) & (pdf > 1e-6)
+            o = p + n * _SHADOW_EPS
+            d = wi
+
+    return radiance
+
+
+def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
+    """One sample-per-pixel pass; (H*W, 3)."""
+    k_pix, k_path = jax.random.split(key)
+    o, d = camera_rays(scene.camera, config.width, config.height, key=k_pix)
+    if config.ray_chunk and config.ray_chunk < o.shape[0]:
+        n = o.shape[0]
+        chunk = config.ray_chunk
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        o = o.reshape(n_chunks, chunk, 3)
+        d = d.reshape(n_chunks, chunk, 3)
+        out = jax.lax.map(
+            lambda od: trace_rays(scene, od[0], od[1], k_path, config), (o, d)
+        )
+        return out.reshape(-1, 3)[: config.width * config.height]
+    return trace_rays(scene, o, d, k_path, config)
+
+
+def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
+    """Monte-Carlo RGB render, (H, W, 3).  spp accumulated via lax.scan so
+    compile time is independent of sample count."""
+    keys = jax.random.split(key, config.spp)
+
+    def body(acc, k):
+        return acc + _film_render(scene, k, config), None
+
+    init = jnp.zeros((config.width * config.height, 3), jnp.float32)
+    total, _ = jax.lax.scan(body, init, keys)
+    img = total / config.spp
+    return img.reshape(config.height, config.width, 3)

@@ -1,0 +1,96 @@
+"""Camera / sensor ray generation.
+
+Replaces Mitsuba's `sensor.sample_ray` grid (reference
+fireflies/graphics/depth.py:139-160).  Convention: camera space looks down
+-Z, +Y up, x_fov in degrees with square pixels (tan_y scaled by H/W); pixel
+(0, 0) is the top-left of the image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fireflies_tpu.render.types import Camera
+from fireflies_tpu.utils import math as ffmath
+
+Array = jax.Array
+
+
+def camera_rays(
+    camera: Camera,
+    width: int,
+    height: int,
+    key: Array | None = None,
+):
+    """Primary rays for a width x height film.
+
+    Returns (origins, directions): ((H*W, 3), (H*W, 3)); directions are unit,
+    world-space, row-major pixel order.  With `key`, pixel positions are
+    jittered uniformly within each pixel (anti-aliasing); otherwise centered.
+    """
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys)  # (H, W)
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+
+    if key is not None:
+        jit_xy = jax.random.uniform(key, (px.shape[0], 2))
+        px = px + jit_xy[:, 0]
+        py = py + jit_xy[:, 1]
+    else:
+        px = px + 0.5
+        py = py + 0.5
+
+    ndc = pixel_to_ndc(px, py, width, height)
+    return rays_from_ndc(camera, ndc)
+
+
+def pixel_to_ndc(px: Array, py: Array, width: int, height: int) -> Array:
+    """Continuous pixel coords -> NDC (x right, y up, both [-1, 1])."""
+    x = px / width * 2.0 - 1.0
+    y = 1.0 - py / height * 2.0
+    return jnp.stack([x, y], axis=-1)
+
+
+def rays_from_ndc(camera: Camera, ndc: Array):
+    """NDC points (N, 2) -> world-space rays through them."""
+    tan_half = jnp.tan(jnp.deg2rad(camera.fov) / 2.0)
+    d_local = jnp.stack(
+        [
+            ndc[:, 0] * tan_half,
+            ndc[:, 1] * tan_half,
+            -jnp.ones_like(ndc[:, 0]),
+        ],
+        axis=-1,
+    )
+    d_world = ffmath.transform_directions(d_local, camera.to_world)
+    d_world = ffmath.normalize_vectors(d_world)
+    origin = camera.to_world[:3, 3]
+    o = jnp.broadcast_to(origin, d_world.shape)
+    return o, d_world
+
+
+def points_to_ndc(camera: Camera, points: Array) -> Array:
+    """World points (N, 3) -> NDC (N, 3): x, y in [-1, 1], z = view-space
+    depth (positive in front of the camera).
+
+    Functional equivalent of the reference Camera.pointsToNDC
+    (projection/camera.py:67-74) without the matrix inverse: transforms into
+    view space and perspective-divides.
+    """
+    view = ffmath.transform_points(points, jnp.linalg.inv(camera.to_world))
+    depth = -view[:, 2]
+    tan_half = jnp.tan(jnp.deg2rad(camera.fov) / 2.0)
+    safe = jnp.where(jnp.abs(depth) < 1e-8, 1e-8, depth)
+    x = view[:, 0] / (safe * tan_half)
+    y = view[:, 1] / (safe * tan_half)
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def ndc_to_pixel(ndc: Array, width: int, height: int) -> Array:
+    """NDC (N, 2+) -> continuous pixel coords (N, 2) as (px, py)."""
+    px = (ndc[:, 0] + 1.0) * 0.5 * width
+    py = (1.0 - ndc[:, 1]) * 0.5 * height
+    return jnp.stack([px, py], axis=-1)

@@ -1,0 +1,218 @@
+"""Renderer data model: scenes as flat pytrees of arrays.
+
+This is the TPU-native replacement for Mitsuba's C++ scene graph (reference
+L0, SURVEY.md §1): geometry / material / light tables that jit, vmap and
+differentiate.  The randomization layer emits a flat param dict
+(fireflies_tpu.scene); `fireflies_tpu.render.bridge` assembles these
+structures from it every step — the functional analog of
+`mitsuba_params.update()` (reference scene.py:384).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_PROJECTOR = 2
+LIGHT_AREA = 3
+
+
+class Camera(struct.PyTreeNode):
+    """Perspective sensor: camera-to-world pose, x-fov (degrees), clips.
+
+    Convention: camera space looks down -Z, +Y up, square pixels
+    (matches the reference projection matrix, utils/io.py:81-140).
+    """
+
+    to_world: Array  # (4, 4)
+    fov: Array  # () degrees, horizontal
+    near: Array  # ()
+    far: Array  # ()
+
+    @classmethod
+    def create(cls, to_world, fov=45.0, near=0.01, far=1000.0) -> "Camera":
+        return cls(
+            to_world=jnp.asarray(to_world, jnp.float32),
+            fov=jnp.asarray(fov, jnp.float32).reshape(()),
+            near=jnp.asarray(near, jnp.float32).reshape(()),
+            far=jnp.asarray(far, jnp.float32).reshape(()),
+        )
+
+
+class Projector(struct.PyTreeNode):
+    """Textured spotlight — the structured-light source.
+
+    Mitsuba equivalent: `projector` emitter with "tex.data" irradiance
+    texture (reference main.py:64-77).  `texture` is (Ht, Wt, 3) and fully
+    differentiable: gradients flow from rendered images back to the pattern.
+    """
+
+    to_world: Array  # (4, 4)
+    fov: Array  # () degrees
+    near: Array
+    far: Array
+    texture: Array  # (Ht, Wt, 3)
+    scale: Array  # () intensity scale
+
+    @classmethod
+    def create(cls, to_world, texture, fov=30.0, near=0.01, far=1000.0, scale=1.0):
+        return cls(
+            to_world=jnp.asarray(to_world, jnp.float32),
+            fov=jnp.asarray(fov, jnp.float32).reshape(()),
+            near=jnp.asarray(near, jnp.float32).reshape(()),
+            far=jnp.asarray(far, jnp.float32).reshape(()),
+            texture=jnp.asarray(texture, jnp.float32),
+            scale=jnp.asarray(scale, jnp.float32).reshape(()),
+        )
+
+
+class Lights(struct.PyTreeNode):
+    """Fixed-slot light table (static L; masked).
+
+    kinds: LIGHT_POINT / LIGHT_SPOT (area lights ride emissive materials).
+    Spot falloff follows Mitsuba's spot emitter: full intensity inside
+    `beam_cos`, smooth falloff to `cutoff_cos`, zero outside.
+    """
+
+    kinds: Array  # (L,) int32
+    to_world: Array  # (L, 4, 4)
+    intensity: Array  # (L, 3)
+    cutoff_cos: Array  # (L,)
+    beam_cos: Array  # (L,)
+    active: Array  # (L,) bool
+
+    @property
+    def count(self) -> int:
+        return self.kinds.shape[0]
+
+    @property
+    def positions(self) -> Array:
+        return self.to_world[:, :3, 3]
+
+    @classmethod
+    def empty(cls) -> "Lights":
+        return cls(
+            kinds=jnp.zeros((0,), jnp.int32),
+            to_world=jnp.zeros((0, 4, 4), jnp.float32),
+            intensity=jnp.zeros((0, 3), jnp.float32),
+            cutoff_cos=jnp.zeros((0,), jnp.float32),
+            beam_cos=jnp.zeros((0,), jnp.float32),
+            active=jnp.zeros((0,), bool),
+        )
+
+
+class Materials(struct.PyTreeNode):
+    """Principled-BSDF parameter table, one row per material.
+
+    Fields follow the reference workload's randomized params (main.py:99-107)
+    plus base_color/emission; `textures` is an optional stacked
+    (M, Ht, Wt, 3) base-color texture array with `has_texture` mask.
+    """
+
+    base_color: Array  # (M, 3)
+    roughness: Array  # (M,)
+    metallic: Array
+    specular: Array
+    spec_tint: Array
+    clearcoat: Array
+    clearcoat_gloss: Array
+    sheen: Array
+    sheen_tint: Array
+    anisotropic: Array
+    spec_trans: Array
+    flatness: Array
+    ior: Array
+    emission: Array  # (M, 3)
+    textures: Optional[Array] = None  # (M, Ht, Wt, 3)
+    has_texture: Optional[Array] = None  # (M,) bool
+
+    @property
+    def count(self) -> int:
+        return self.base_color.shape[0]
+
+    @classmethod
+    def default(cls, count: int = 1) -> "Materials":
+        ones = jnp.ones((count,), jnp.float32)
+        return cls(
+            base_color=jnp.full((count, 3), 0.8, jnp.float32),
+            roughness=ones * 0.5,
+            metallic=ones * 0.0,
+            specular=ones * 0.5,
+            spec_tint=ones * 0.0,
+            clearcoat=ones * 0.0,
+            clearcoat_gloss=ones * 1.0,
+            sheen=ones * 0.0,
+            sheen_tint=ones * 0.5,
+            anisotropic=ones * 0.0,
+            spec_trans=ones * 0.0,
+            flatness=ones * 0.0,
+            ior=ones * 1.5,
+            emission=jnp.zeros((count, 3), jnp.float32),
+        )
+
+
+class Geometry(struct.PyTreeNode):
+    """Triangle soup with per-face material/mesh ids.
+
+    vertices are *world-space* (the randomize step bakes entity transforms,
+    like the reference writes world-space verts into Mitsuba, scene.py:243-251).
+    """
+
+    vertices: Array  # (V, 3)
+    faces: Array  # (F, 3) int32
+    face_mat: Array  # (F,) int32
+    face_mesh: Array  # (F,) int32
+    uvs: Optional[Array] = None  # (V, 2)
+
+    @property
+    def num_faces(self) -> int:
+        return self.faces.shape[0]
+
+    @property
+    def num_meshes(self) -> Array:
+        return jnp.max(self.face_mesh) + 1
+
+    def triangle_corners(self):
+        """(v0, e1, e2) arrays of shape (F, 3) for Möller-Trumbore."""
+        v0 = self.vertices[self.faces[:, 0]]
+        v1 = self.vertices[self.faces[:, 1]]
+        v2 = self.vertices[self.faces[:, 2]]
+        return v0, v1 - v0, v2 - v0
+
+
+class RenderScene(struct.PyTreeNode):
+    geometry: Geometry
+    materials: Materials
+    lights: Lights
+    camera: Camera
+    projector: Optional[Projector] = None
+    background: Optional[Array] = None  # (3,) radiance on miss
+
+
+class Hit(struct.PyTreeNode):
+    """Intersection result (non-differentiable traversal output)."""
+
+    t: Array  # (N,)
+    prim: Array  # (N,) int32, -1 on miss
+    u: Array  # (N,) barycentric
+    v: Array  # (N,)
+    valid: Array  # (N,) bool
+
+
+class RenderConfig(struct.PyTreeNode):
+    """Static render settings (hashable; changing them retraces)."""
+
+    width: int = struct.field(pytree_node=False, default=256)
+    height: int = struct.field(pytree_node=False, default=256)
+    spp: int = struct.field(pytree_node=False, default=4)
+    max_bounces: int = struct.field(pytree_node=False, default=2)
+    ray_chunk: int = struct.field(pytree_node=False, default=0)  # 0 = no chunking
+    tri_chunk: int = struct.field(pytree_node=False, default=512)
+    backend: str = struct.field(pytree_node=False, default="auto")  # jax | pallas | auto

@@ -1,0 +1,179 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import fireflies_tpu as ff
+from fireflies_tpu.assets import scenes as ff_scenes
+from fireflies_tpu.render import (
+    RenderConfig,
+    SceneBridge,
+    render_depth,
+    render_depth_differentiable,
+    render_rgb,
+    render_segmentation,
+)
+from fireflies_tpu.render.types import Camera, Geometry, Lights, Materials, RenderScene
+from fireflies_tpu.utils import math as ffmath
+
+CFG = RenderConfig(width=32, height=32, spp=2, max_bounces=2, tri_chunk=64)
+
+
+def _facing_quad_scene(z=-2.0, light_pos=(0.0, 0.0, 0.0), intensity=4.0, albedo=0.6):
+    """Camera at origin looking down -Z at a large quad; point light."""
+    verts = jnp.array(
+        [[-10, -10, z], [10, -10, z], [10, 10, z], [-10, 10, z]], jnp.float32
+    )
+    faces = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    geo = Geometry(
+        vertices=verts,
+        faces=faces,
+        face_mat=jnp.zeros(2, jnp.int32),
+        face_mesh=jnp.zeros(2, jnp.int32),
+    )
+    mats = Materials.default(1).replace(
+        base_color=jnp.full((1, 3), albedo, jnp.float32),
+        specular=jnp.zeros((1,)),  # pure-diffuse analytic check
+        roughness=jnp.ones((1,)),
+    )
+    lw = np.eye(4, dtype=np.float32)
+    lw[:3, 3] = light_pos
+    lights = Lights(
+        kinds=jnp.zeros(1, jnp.int32),
+        to_world=jnp.asarray(lw)[None],
+        intensity=jnp.full((1, 3), intensity, jnp.float32),
+        cutoff_cos=jnp.zeros(1),
+        beam_cos=jnp.ones(1),
+        active=jnp.ones(1, bool),
+    )
+    cam = Camera.create(jnp.eye(4), fov=45.0)
+    return RenderScene(geometry=geo, materials=mats, lights=lights, camera=cam)
+
+
+def test_depth_center_pixel():
+    scene = _facing_quad_scene(z=-2.0)
+    depth = render_depth(scene, CFG)
+    # Center ray is perpendicular -> depth 2; corners are longer.
+    assert float(depth[16, 16]) == pytest.approx(2.0, abs=0.01)
+    assert float(depth[0, 0]) > 2.0
+    assert float(depth.min()) > 0.0  # quad covers the whole view
+
+
+def test_depth_miss_is_zero():
+    scene = _facing_quad_scene(z=+2.0)  # behind the camera
+    depth = render_depth(scene, CFG)
+    assert float(jnp.abs(depth).max()) == 0.0
+
+
+def test_segmentation_ids():
+    scene, kwargs = ff_scenes.hello_world(randomize_rotation=False)
+    bridge = SceneBridge(scene, **kwargs)
+    params = scene.compile()(jax.random.key(0), 0)
+    rs = bridge.assemble(params)
+    seg = render_segmentation(rs, CFG)
+    vals = set(np.unique(np.asarray(seg)).tolist())
+    assert vals == {0, 1}  # background + the cube
+
+
+def test_rgb_analytic_point_light():
+    # Lambertian quad, light co-located with camera: L = albedo/pi * I / r^2
+    # at the center pixel (cos=1, r=2).
+    albedo, intensity = 0.6, 4.0
+    scene = _facing_quad_scene(z=-2.0, intensity=intensity, albedo=albedo)
+    cfg = RenderConfig(width=16, height=16, spp=8, max_bounces=1, tri_chunk=64)
+    img = render_rgb(scene, jax.random.key(0), cfg)
+    expected = albedo / np.pi * intensity / 4.0
+    # Burley diffuse at normal incidence ~ Lambert (retro term small).
+    assert float(img[8, 8, 0]) == pytest.approx(expected, rel=0.15)
+    assert float(jnp.abs(img[8, 8, 0] - img[8, 8, 1])) < 1e-6  # grey
+
+
+def test_rgb_shadowing():
+    # An occluder on the light->quad-center segment (off the camera axis)
+    # must shadow the center pixel while leaving off-center pixels lit.
+    z = -2.0
+    verts = jnp.array(
+        [
+            [-10, -10, z], [10, -10, z], [10, 10, z], [-10, 10, z],  # big quad
+            [-0.3, 0.7, -1.5], [0.3, 0.7, -1.5], [0.0, 1.3, -1.5],  # occluder
+        ],
+        jnp.float32,
+    )
+    faces = jnp.array([[0, 1, 2], [0, 2, 3], [4, 5, 6]], jnp.int32)
+    geo = Geometry(
+        vertices=verts,
+        faces=faces,
+        face_mat=jnp.zeros(3, jnp.int32),
+        face_mesh=jnp.asarray([0, 0, 1], jnp.int32),
+    )
+    base = _facing_quad_scene(z=z, light_pos=(0.0, 2.0, -1.0))
+    scene = base.replace(geometry=geo)
+    cfg = RenderConfig(width=32, height=32, spp=4, max_bounces=1, tri_chunk=64)
+    img = render_rgb(scene, jax.random.key(0), cfg)
+    center = float(img[16, 16, 0])  # shadowed quad point
+    side = float(img[16, 28, 0])  # lit quad point
+    assert center < 0.25 * side
+
+
+def test_render_hello_world_end_to_end():
+    scene, kwargs = ff_scenes.hello_world()
+    bridge = SceneBridge(scene, **kwargs)
+    randomize = scene.compile()
+
+    def render_variant(key):
+        params = randomize(key, 0)
+        return render_rgb(bridge.assemble(params), key, CFG)
+
+    img = jax.jit(render_variant)(jax.random.key(1))
+    assert img.shape == (32, 32, 3)
+    assert float(img.max()) > 0.01  # something is lit
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+    # vmapped variants differ (rotation randomized).
+    imgs = jax.vmap(render_variant)(jax.random.split(jax.random.key(0), 3))
+    assert float(jnp.std(imgs.mean(axis=(1, 2, 3)))) >= 0.0
+
+
+def test_depth_gradient_wrt_scene():
+    scene = _facing_quad_scene(z=-2.0)
+
+    def mean_depth(dz):
+        moved = scene.replace(
+            geometry=scene.geometry.replace(
+                vertices=scene.geometry.vertices + jnp.array([0.0, 0.0, -1.0]) * dz
+            )
+        )
+        cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=1, tri_chunk=64)
+        return jnp.mean(render_depth_differentiable(moved, cfg))
+
+    g = jax.grad(mean_depth)(0.0)
+    # Moving the quad away increases depth: gradient ~ +1 (cos-scaled >= 1).
+    assert 0.9 < float(g) < 1.3
+
+
+def test_rgb_gradient_wrt_light_intensity():
+    scene = _facing_quad_scene(z=-2.0)
+
+    def brightness(scale):
+        s = scene.replace(
+            lights=scene.lights.replace(intensity=scene.lights.intensity * scale)
+        )
+        cfg = RenderConfig(width=8, height=8, spp=2, max_bounces=1, tri_chunk=64)
+        return jnp.mean(render_rgb(s, jax.random.key(0), cfg))
+
+    g = jax.grad(brightness)(1.0)
+    assert float(g) > 0.0
+    # Radiance is linear in intensity: f(2) = 2 f(1).
+    assert float(brightness(2.0)) == pytest.approx(2 * float(brightness(1.0)), rel=1e-4)
+
+
+def test_vocalfold_scene_builds_and_renders():
+    scene, kwargs = ff_scenes.vocalfold(resolution=8, n_anim_frames=2)
+    bridge = SceneBridge(scene, **kwargs)
+    params = scene.compile()(jax.random.key(0), 0)
+    rs = bridge.assemble(params)
+    cfg = RenderConfig(width=24, height=24, spp=1, max_bounces=1, tri_chunk=128)
+    depth = render_depth(rs, cfg)
+    assert float((depth > 0).mean()) > 0.9  # folds+tube fill the view
+    img = render_rgb(rs, jax.random.key(0), cfg)
+    assert bool(jnp.all(jnp.isfinite(img))) and float(img.max()) > 0.0
