@@ -9,7 +9,15 @@ designed for vmap/shard_map scale-out on TPU meshes.
 
 __version__ = "0.1.0"
 
-from fireflies_tpu import emitter, entity, material, sampling, utils  # noqa: F401
+from fireflies_tpu import (  # noqa: F401
+    emitter,
+    entity,
+    graphics,
+    material,
+    projection,
+    sampling,
+    utils,
+)
 from fireflies_tpu.emitter import Light  # noqa: F401
 from fireflies_tpu.entity import Curve, Mesh, Transformable  # noqa: F401
 from fireflies_tpu.material import Material  # noqa: F401
