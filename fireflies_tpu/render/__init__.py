@@ -9,7 +9,13 @@ from fireflies_tpu.render.integrators import (
     render_segmentation,
     render_shape_index,
 )
-from fireflies_tpu.render.intersect import hit_attributes, intersect_brute, occluded
+from fireflies_tpu.render.intersect import (
+    closest_hit,
+    hit_attributes,
+    intersect_brute,
+    occluded,
+    occluded_any,
+)
 from fireflies_tpu.render.pathtracer import render_rgb, trace_rays
 from fireflies_tpu.render.rays import camera_rays, points_to_ndc, rays_from_ndc
 from fireflies_tpu.render.types import (
@@ -41,7 +47,9 @@ __all__ = [
     "render_shape_index",
     "render_from_laser",
     "random_depth_maps",
+    "closest_hit",
     "intersect_brute",
+    "occluded_any",
     "occluded",
     "hit_attributes",
     "camera_rays",

@@ -23,7 +23,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from fireflies_tpu.render.intersect import hit_attributes, intersect_brute
+from fireflies_tpu.render.intersect import closest_hit, hit_attributes
 from fireflies_tpu.render.rays import camera_rays, ndc_to_pixel, points_to_ndc
 from fireflies_tpu.render.types import RenderConfig, RenderScene
 
@@ -35,7 +35,10 @@ def render_depth(
 ) -> Array:
     """(H, W) primary-visibility depth (distance along unit ray); 0 on miss."""
     o, d = camera_rays(scene.camera, config.width, config.height, key=key)
-    hit = intersect_brute(o, d, scene.geometry, tri_chunk=config.tri_chunk)
+    hit = closest_hit(
+        o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
+        shared_origin=scene.camera.to_world[:3, 3],
+    )
     depth = jnp.where(hit.valid, hit.t, 0.0)
     return depth.reshape(config.height, config.width)
 
@@ -45,7 +48,10 @@ def render_depth_differentiable(
 ) -> Array:
     """Depth with gradients w.r.t. vertices (detached traversal + re-derived t)."""
     o, d = camera_rays(scene.camera, config.width, config.height, key=key)
-    hit = intersect_brute(o, d, scene.geometry, tri_chunk=config.tri_chunk)
+    hit = closest_hit(
+        o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
+        shared_origin=scene.camera.to_world[:3, 3],
+    )
     hit = jax.tree.map(jax.lax.stop_gradient, hit)
     attrs = hit_attributes(o, d, hit, scene.geometry)
     depth = jnp.where(hit.valid, attrs["t"], 0.0)
@@ -55,7 +61,10 @@ def render_depth_differentiable(
 def render_segmentation(scene: RenderScene, config: RenderConfig) -> Array:
     """(H, W) int32 mesh-id map; 0 = background, mesh ids start at 1."""
     o, d = camera_rays(scene.camera, config.width, config.height)
-    hit = intersect_brute(o, d, scene.geometry, tri_chunk=config.tri_chunk)
+    hit = closest_hit(
+        o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
+        shared_origin=scene.camera.to_world[:3, 3],
+    )
     prim = jnp.maximum(hit.prim, 0)
     mesh_id = scene.geometry.face_mesh[prim] + 1
     seg = jnp.where(hit.valid, mesh_id, 0)
@@ -80,7 +89,7 @@ def render_from_laser(
     `image` splats per-beam camera-space depth with Gaussian footprints of
     std `sigma` pixels (differentiable; reference intent depth.py:9-31).
     """
-    hit = intersect_brute(laser_origins, laser_dirs, scene.geometry, tri_chunk=config.tri_chunk)
+    hit = closest_hit(laser_origins, laser_dirs, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend)
     hit_d = jax.tree.map(jax.lax.stop_gradient, hit)
     attrs = hit_attributes(laser_origins, laser_dirs, hit_d, scene.geometry)
     p = attrs["position"]

@@ -35,15 +35,35 @@ def _mt_chunk(o: Array, d: Array, v0: Array, e1: Array, e2: Array):
     """Möller-Trumbore for all (ray, tri) pairs.
 
     o, d: (N, 3); v0, e1, e2: (C, 3).  Returns t, u, v, valid of shape (N, C).
+
+    Internally structure-of-arrays: every temporary is an (N, C) plane, never
+    (N, C, 3) — a minormost dim of 3 would waste 125/128 TPU vector lanes.
     """
-    pvec = jnp.cross(d[:, None, :], e2[None, :, :])  # (N, C, 3)
-    det = jnp.sum(e1[None] * pvec, axis=-1)  # (N, C)
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]  # (N, 1)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]  # (1, C)
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
-    tvec = o[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
     valid = (
         (jnp.abs(det) >= _EPS_DET)
         & (u >= -_EPS_BARY)
@@ -92,36 +112,32 @@ def intersect_brute(
     t_max = _per_ray(t_max)
 
     def body(carry, chunk_data):
-        best_t, best_prim, best_u, best_v = carry
+        # Track only (t, prim): barycentrics are re-derived differentiably in
+        # hit_attributes, so carrying u/v (plus the per-row gathers that
+        # entails) would be pure overhead in the hot loop.
+        best_t, best_prim = carry
         cv0, ce1, ce2, base = chunk_data
-        t, u, v, valid = _mt_chunk(o, d, cv0, ce1, ce2)
+        t, _u, _v, valid = _mt_chunk(o, d, cv0, ce1, ce2)
         valid &= (t > t_min) & (t < t_max)
         t = jnp.where(valid, t, _BIG)
-        j = jnp.argmin(t, axis=-1)  # (N,)
-        rows = jnp.arange(n_rays)
-        tj = t[rows, j]
-        better = tj < best_t
-        best_prim = jnp.where(better, base + j.astype(jnp.int32), best_prim)
-        best_u = jnp.where(better, u[rows, j], best_u)
-        best_v = jnp.where(better, v[rows, j], best_v)
-        best_t = jnp.where(better, tj, best_t)
-        return (best_t, best_prim, best_u, best_v), None
+        chunk_min = jnp.min(t, axis=-1)
+        chunk_arg = jnp.argmin(t, axis=-1).astype(jnp.int32)
+        better = chunk_min < best_t
+        best_prim = jnp.where(better, base + chunk_arg, best_prim)
+        best_t = jnp.minimum(best_t, chunk_min)
+        return (best_t, best_prim), None
 
     init = (
         jnp.full((n_rays,), _BIG, jnp.float32),
         jnp.full((n_rays,), -1, jnp.int32),
-        jnp.zeros((n_rays,), jnp.float32),
-        jnp.zeros((n_rays,), jnp.float32),
     )
-    (best_t, best_prim, best_u, best_v), _ = jax.lax.scan(
-        body, init, (v0c, e1c, e2c, base_ids)
-    )
+    (best_t, best_prim), _ = jax.lax.scan(body, init, (v0c, e1c, e2c, base_ids))
     valid = best_prim >= 0
     return Hit(
         t=jnp.where(valid, best_t, 0.0),
         prim=best_prim,
-        u=best_u,
-        v=best_v,
+        u=jnp.zeros((n_rays,), jnp.float32),
+        v=jnp.zeros((n_rays,), jnp.float32),
         valid=valid,
     )
 
@@ -163,6 +179,87 @@ def occluded(
         body, jnp.zeros((o.shape[0],), bool), (v0c, e1c, e2c)
     )
     return blocked
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "jax":
+        return False
+    # auto: compiled Pallas on TPU-like backends, pure JAX elsewhere.
+    return jax.default_backend() not in ("cpu",)
+
+
+def closest_hit(
+    o: Array,
+    d: Array,
+    geometry: Geometry,
+    t_min: float = 1e-4,
+    t_max: Array | float = 1e30,
+    tri_chunk: int = 512,
+    backend: str = "auto",
+    shared_origin: Array | None = None,
+) -> Hit:
+    """Closest-hit dispatcher: Pallas kernel on TPU, JAX scan elsewhere.
+
+    Pass `shared_origin` (3,) when every ray starts there (camera-primary,
+    reversed shadow batches): the Pallas path then uses the Woop
+    precomputed-transform kernel (~1.5x fewer ops per pair).
+    """
+    if _use_pallas(backend):
+        from fireflies_tpu.render.pallas import (  # noqa: PLC0415
+            intersect_pallas,
+            intersect_pallas_shared,
+        )
+
+        if shared_origin is not None:
+            t, prim = intersect_pallas_shared(
+                shared_origin, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max,
+            )
+        else:
+            t, prim = intersect_pallas(
+                o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
+            )
+        valid = prim >= 0
+        zeros = jnp.zeros_like(t)
+        return Hit(t=t, prim=prim, u=zeros, v=zeros, valid=valid)
+    if shared_origin is not None:
+        o = jnp.broadcast_to(shared_origin, d.shape)
+    return intersect_brute(o, d, geometry, t_min, t_max, tri_chunk)
+
+
+def occluded_any(
+    o: Array,
+    d: Array,
+    geometry: Geometry,
+    t_min: float = 1e-4,
+    t_max: Array | float = 1.0,
+    tri_chunk: int = 512,
+    backend: str = "auto",
+    shared_origin: Array | None = None,
+) -> Array:
+    """Any-hit dispatcher (shadow rays).  See closest_hit for shared_origin."""
+    if _use_pallas(backend):
+        from fireflies_tpu.render.pallas import (  # noqa: PLC0415
+            intersect_pallas,
+            intersect_pallas_shared,
+        )
+
+        if shared_origin is not None:
+            _, prim = intersect_pallas_shared(
+                shared_origin, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max, any_hit=True,
+            )
+        else:
+            _, prim = intersect_pallas(
+                o, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max, any_hit=True,
+            )
+        return prim >= 0
+    if shared_origin is not None:
+        o = jnp.broadcast_to(shared_origin, d.shape)
+    return occluded(o, d, geometry, t_min, t_max, tri_chunk)
 
 
 def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):

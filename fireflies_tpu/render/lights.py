@@ -144,6 +144,14 @@ def sample_one_light(
     return wi, dist, rad
 
 
+def emitter_positions(lights: Lights, projector: Optional[Projector]) -> list[Array]:
+    """World positions of every delta emitter, in total_incident order."""
+    positions = [lights.to_world[i, :3, 3] for i in range(lights.count)]
+    if projector is not None:
+        positions.append(projector.to_world[:3, 3])
+    return positions
+
+
 def total_incident(lights: Lights, projector: Optional[Projector], p: Array):
     """Sum of incident radiance from every delta emitter (deterministic NEE —
     exact for few lights, used when config.deterministic_nee)."""

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from fireflies_tpu.render import bsdf as bsdf_mod
 from fireflies_tpu.render import lights as lights_mod
-from fireflies_tpu.render.intersect import hit_attributes, intersect_brute, occluded
+from fireflies_tpu.render.intersect import hit_attributes, closest_hit, occluded_any
 from fireflies_tpu.render.rays import camera_rays
 from fireflies_tpu.render.texture import bilinear_sample_stack
 from fireflies_tpu.render.types import RenderConfig, RenderScene
@@ -55,8 +55,13 @@ def trace_rays(
     d: Array,
     key: Array,
     config: RenderConfig,
+    primary_origin: Array | None = None,
 ) -> Array:
-    """Path-trace radiance for rays (N, 3); returns (N, 3)."""
+    """Path-trace radiance for rays (N, 3); returns (N, 3).
+
+    `primary_origin` (3,) marks the first bounce's rays as sharing that
+    origin (camera position) — enables the fast shared-origin kernel.
+    """
     n_rays = o.shape[0]
     radiance = jnp.zeros((n_rays, 3), jnp.float32)
     throughput = jnp.ones((n_rays, 3), jnp.float32)
@@ -69,7 +74,14 @@ def trace_rays(
 
     for bounce in range(config.max_bounces):
         bkey = jax.random.fold_in(key, bounce)
-        hit = intersect_brute(o, d, scene.geometry, tri_chunk=config.tri_chunk)
+        hit = closest_hit(
+            o,
+            d,
+            scene.geometry,
+            tri_chunk=config.tri_chunk,
+            backend=config.backend,
+            shared_origin=primary_origin if bounce == 0 else None,
+        )
         hit = jax.tree.map(jax.lax.stop_gradient, hit)
 
         # Background contribution for escaping rays, then retire them.
@@ -101,17 +113,24 @@ def trace_rays(
             scene.lights, scene.projector, p
         )
         shadow_o = p + n * _SHADOW_EPS
-        for wi_l, dist_l, rad_l in zip(wi_list, dist_list, rad_list):
+        positions = lights_mod.emitter_positions(scene.lights, scene.projector)
+        for li, (wi_l, dist_l, rad_l) in enumerate(zip(wi_list, dist_list, rad_list)):
             lit = jnp.any(rad_l > 0.0, axis=-1) & active
-            blocked = occluded(
+            # Shadow segments reversed (light -> surface) so every ray in the
+            # batch shares the light's origin — fast-kernel eligible.  The
+            # direction is the unnormalized segment; t in (eps, 1 - eps)
+            # excludes the endpoints (surface point already offset along n).
+            seg_d = jax.lax.stop_gradient(shadow_o - positions[li][None, :])
+            blocked = occluded_any(
                 shadow_o,
-                wi_l,
+                seg_d,
                 scene.geometry,
-                t_min=_SHADOW_EPS,
-                t_max=dist_l - _SHADOW_EPS,
+                t_min=1e-4,
+                t_max=1.0 - 1e-4,
                 tri_chunk=config.tri_chunk,
+                backend=config.backend,
+                shared_origin=positions[li],
             )
-            blocked = jax.lax.stop_gradient(blocked)
             f = bsdf_mod.evaluate(params, n, wo, wi_l)
             cos_i = jnp.maximum(jnp.sum(n * wi_l, axis=-1), 0.0)
             contrib = throughput * f * rad_l * cos_i[:, None]
@@ -146,11 +165,17 @@ def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         o = o.reshape(n_chunks, chunk, 3)
         d = d.reshape(n_chunks, chunk, 3)
+        cam_pos = scene.camera.to_world[:3, 3]
         out = jax.lax.map(
-            lambda od: trace_rays(scene, od[0], od[1], k_path, config), (o, d)
+            lambda od: trace_rays(
+                scene, od[0], od[1], k_path, config, primary_origin=cam_pos
+            ),
+            (o, d),
         )
         return out.reshape(-1, 3)[: config.width * config.height]
-    return trace_rays(scene, o, d, k_path, config)
+    return trace_rays(
+        scene, o, d, k_path, config, primary_origin=scene.camera.to_world[:3, 3]
+    )
 
 
 def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:

@@ -3,7 +3,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from fireflies_tpu.render import intersect
+import fireflies_tpu.render.intersect as intersect
 from fireflies_tpu.render.types import Geometry
 
 

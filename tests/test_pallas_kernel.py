@@ -1,0 +1,74 @@
+"""Pallas kernel vs pure-JAX intersector cross-checks (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import fireflies_tpu.render.intersect as intersect
+from fireflies_tpu.render.pallas import intersect_pallas, morton_order, pack_triangles
+from fireflies_tpu.render.types import Geometry
+
+
+def _soup(n_verts=300, n_faces=211, seed=0):
+    rng = np.random.default_rng(seed)
+    verts = jnp.asarray(rng.normal(size=(n_verts, 3)), jnp.float32)
+    faces = jnp.asarray(rng.integers(0, n_verts, size=(n_faces, 3)), jnp.int32)
+    geo = Geometry(
+        vertices=verts,
+        faces=faces,
+        face_mat=jnp.zeros(n_faces, jnp.int32),
+        face_mesh=jnp.zeros(n_faces, jnp.int32),
+    )
+    o = jnp.asarray(rng.normal(size=(300, 3)) * 3, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return geo, o, d
+
+
+def test_pallas_matches_jax_closest_hit():
+    geo, o, d = _soup()
+    ref = intersect.intersect_brute(o, d, geo)
+    t, prim = intersect_pallas(o, d, geo.vertices, geo.faces, interpret=True)
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t), atol=1e-4)
+
+
+def test_pallas_matches_jax_any_hit():
+    geo, o, d = _soup(seed=1)
+    blocked_ref = intersect.occluded(o, d, geo, t_max=2.0)
+    _, prim = intersect_pallas(
+        o, d, geo.vertices, geo.faces, t_max=2.0, any_hit=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim >= 0), np.asarray(blocked_ref))
+
+
+def test_pallas_per_ray_tmax():
+    geo, o, d = _soup(seed=2)
+    tmax = jnp.linspace(0.5, 4.0, o.shape[0])
+    ref = intersect.intersect_brute(o, d, geo, t_max=tmax)
+    t, prim = intersect_pallas(o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+
+
+def test_morton_order_is_permutation():
+    rng = np.random.default_rng(0)
+    cents = rng.normal(size=(500, 3))
+    order = morton_order(cents)
+    assert sorted(order.tolist()) == list(range(500))
+    # Spatial locality: mean inter-neighbor distance shrinks vs random order.
+    d_sorted = np.linalg.norm(np.diff(cents[order], axis=0), axis=1).mean()
+    d_rand = np.linalg.norm(np.diff(cents, axis=0), axis=1).mean()
+    assert d_sorted < d_rand
+
+
+def test_pack_triangles_boxes_cover_faces():
+    geo, _, _ = _soup()
+    tri, boxes = pack_triangles(geo.vertices, geo.faces)
+    assert tri.shape[0] == 9 and boxes.shape[0] == 6
+    v0, e1, e2 = geo.triangle_corners()
+    # First chunk box must contain its 64 faces' vertices.
+    pts = jnp.concatenate([v0[:64], (v0 + e1)[:64], (v0 + e2)[:64]])
+    cmin = boxes[:3, 0]
+    cmax = boxes[3:, 0]
+    assert bool(jnp.all(pts >= cmin[None, :] - 1e-5))
+    assert bool(jnp.all(pts <= cmax[None, :] + 1e-5))
