@@ -109,6 +109,31 @@ class SceneBridge:
         self._face_mat = np.concatenate(face_mat)
         self._uvs = np.concatenate(uvs_list).astype(np.float32) if any_uv else None
 
+        # Morton-order faces by rest-pose centroid so the Pallas kernels'
+        # consecutive-face clusters are spatially tight (static topology:
+        # ordering survives randomization).
+        rest_verts = np.concatenate(
+            [m.get_vertices() + m._centroid[None, :] for m in scene.meshes()]
+        )
+        centroids = rest_verts[self._faces].mean(axis=1)
+        try:
+            from fireflies_tpu.native import morton_order  # noqa: PLC0415
+        except Exception:
+            from fireflies_tpu.render.pallas.intersect_kernel import (  # noqa: PLC0415
+                morton_order,
+            )
+        # Sort within each mesh (not across): different meshes often occupy
+        # interleaved space (e.g. a tube enclosing the folds) and a global
+        # curve would mix them into loose clusters.
+        order = np.arange(len(self._faces))
+        for mi in range(len(scene.meshes())):
+            sel = np.where(self._face_mesh == mi)[0]
+            if len(sel) > 1:
+                order[sel] = sel[morton_order(centroids[sel])]
+        self._faces = self._faces[order]
+        self._face_mesh = self._face_mesh[order]
+        self._face_mat = self._face_mat[order]
+
         # Which materials carry textures (static or sampled).
         self._n_materials = max(len(scene.materials()), 1)
         self._texture_mats = [
