@@ -23,6 +23,18 @@ from fireflies_tpu.entity import Curve, Mesh, Transformable  # noqa: F401
 from fireflies_tpu.material import Material  # noqa: F401
 from fireflies_tpu.scene import Scene  # noqa: F401
 
+# Subsystems imported lazily by name to keep `import fireflies_tpu` light:
+# fireflies_tpu.render, .optim, .datagen, .parallel, .postprocessing,
+# .estimation, .assets, .scene_io, .native
+
+
+def load_scene(path):
+    """Load a YAML scene description; returns (Scene, bridge_kwargs)."""
+    from fireflies_tpu.scene_io import load_scene as _load  # noqa: PLC0415
+
+    return _load(path)
+
+
 __all__ = [
     "Scene",
     "Mesh",
@@ -30,10 +42,13 @@ __all__ = [
     "Curve",
     "Light",
     "Material",
+    "load_scene",
     "sampling",
     "utils",
     "entity",
     "emitter",
     "material",
+    "graphics",
+    "projection",
     "__version__",
 ]
