@@ -124,6 +124,22 @@ def generate_dataset(
     return count
 
 
+def spp_buckets(
+    key: Array, buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+) -> int:
+    """Host-side spp choice for the next dispatch.
+
+    The reference randomizes spp per frame with U[1, 100] (main.py:144,156);
+    under jit spp is a static shape, so the TPU-native equivalent buckets it:
+    pick a bucket on the host per dispatch (each bucket compiles once, then
+    caches).  Returns a Python int for RenderConfig.replace(spp=...).
+    """
+    import jax  # noqa: PLC0415
+
+    idx = int(jax.random.randint(key, (), 0, len(buckets)))
+    return int(buckets[idx])
+
+
 def tonemap(img: Array, exposure: float = 1.0) -> Array:
     """Simple Reinhard tonemap + clamp for HDR render output."""
     x = img * exposure
