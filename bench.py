@@ -67,10 +67,15 @@ def main() -> None:
     val, grad = step(tex0, key)
     jax.block_until_ready((val, grad))
 
+    # Chained data dependency: each step consumes the previous gradient, so
+    # steps cannot be elided or dishonestly overlapped; a single
+    # block_until_ready at the end measures true sustained throughput.
     t0 = time.perf_counter()
+    tex = tex0
     for i in range(repeats):
-        val, grad = step(tex0, jax.random.fold_in(key, i))
-    jax.block_until_ready((val, grad))
+        val, grad = step(tex, jax.random.fold_in(key, i))
+        tex = tex + 0.0 * grad
+    jax.block_until_ready(tex)
     dt = time.perf_counter() - t0
 
     renders_per_sec = repeats * batch / dt

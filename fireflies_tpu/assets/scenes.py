@@ -18,11 +18,9 @@ from fireflies_tpu.utils import math as ffmath
 
 
 def _look_at_np(origin, target, up=(0.0, 1.0, 0.0)):
-    import jax.numpy as jnp
-
-    return np.asarray(
-        ffmath.look_at(jnp.asarray(origin), jnp.asarray(target), jnp.asarray(up))
-    )
+    # Host-only math: device round-trips here would poison dispatch latency
+    # for the whole process (see utils.math.look_at_np).
+    return ffmath.look_at_np(origin, target, up)
 
 
 def hello_world(randomize_rotation: bool = True):
@@ -44,7 +42,7 @@ def hello_world(randomize_rotation: bool = True):
     scene.set_camera(cam)
 
     light = ff.Light("light-Point", kind="point", intensity=(12.0, 12.0, 12.0))
-    light.set_world(np.asarray(ffmath.translation_matrix(np.array([1.5, 2.0, 2.0], np.float32))))
+    light.set_world(ffmath.translation_matrix_np([1.5, 2.0, 2.0]))
     scene.add_light(light)
 
     return scene, {"camera_fov": 45.0, "background": (0.0, 0.0, 0.0)}
@@ -92,9 +90,7 @@ def cornell_like():
     scene.set_camera(cam)
 
     light = ff.Light("light-top", kind="point", intensity=(8.0, 8.0, 8.0))
-    light.set_world(
-        np.asarray(ffmath.translation_matrix(np.array([0.0, 0.85, 0.3], np.float32)))
-    )
+    light.set_world(ffmath.translation_matrix_np([0.0, 0.85, 0.3]))
     scene.add_light(light)
 
     return scene, {"camera_fov": 50.0}

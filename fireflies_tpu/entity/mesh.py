@@ -40,7 +40,7 @@ class Mesh(Transformable):
         )
         self._uvs = np.asarray(uvs, np.float32) if uvs is not None else None
 
-        ones = jnp.ones(3, jnp.float32)
+        ones = np.ones(3, np.float32)
         self._scale_sampler: sampling.Sampler = sampling.UniformSampler.create(ones, ones)
 
         self._animated = False

@@ -35,7 +35,7 @@ class Transformable:
         self._parent: Optional[Transformable] = None
         self._child: Optional[Transformable] = None
 
-        zeros = jnp.zeros(3, jnp.float32)
+        zeros = np.zeros(3, np.float32)
         self._rotation_sampler: sampling.Sampler = sampling.UniformSampler.create(
             zeros, zeros
         )
@@ -137,8 +137,8 @@ class Transformable:
     def add_vec3_key(self, key: str, minimum, maximum) -> None:
         self._randomizable = True
         self._vec3_attributes[key] = sampling.UniformSampler.create(
-            jnp.asarray(minimum, jnp.float32).reshape(3),
-            jnp.asarray(maximum, jnp.float32).reshape(3),
+            np.asarray(minimum, np.float32).reshape(3),
+            np.asarray(maximum, np.float32).reshape(3),
         )
 
     def add_vec3_sampler(self, key: str, sampler: sampling.Sampler) -> None:

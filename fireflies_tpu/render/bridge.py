@@ -76,8 +76,11 @@ class SceneBridge:
             if projector_texture is not None
             else None
         )
+        # Host numpy, NOT jnp: builder-held device arrays captured by jitted
+        # closures permanently degrade dispatch on the axon tunnel
+        # (see sampling.base._as_f32).
         self._background = (
-            jnp.asarray(background, jnp.float32) if background is not None else None
+            np.asarray(background, np.float32) if background is not None else None
         )
 
         # ---- static topology ------------------------------------------------

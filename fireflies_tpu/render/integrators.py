@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from fireflies_tpu.render.intersect import closest_hit, hit_attributes
-from fireflies_tpu.render.rays import camera_rays, ndc_to_pixel, points_to_ndc
+from fireflies_tpu.render.rays import (
+    camera_rays,
+    camera_rays_tiled,
+    ndc_to_pixel,
+    points_to_ndc,
+)
 from fireflies_tpu.render.types import RenderConfig, RenderScene
 
 Array = jax.Array
@@ -34,12 +39,12 @@ def render_depth(
     scene: RenderScene, config: RenderConfig, key: Array | None = None
 ) -> Array:
     """(H, W) primary-visibility depth (distance along unit ray); 0 on miss."""
-    o, d = camera_rays(scene.camera, config.width, config.height, key=key)
+    o, d, inv_perm = camera_rays_tiled(scene.camera, config.width, config.height, key=key)
     hit = closest_hit(
         o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
         shared_origin=scene.camera.to_world[:3, 3],
     )
-    depth = jnp.where(hit.valid, hit.t, 0.0)
+    depth = jnp.where(hit.valid, hit.t, 0.0)[inv_perm]
     return depth.reshape(config.height, config.width)
 
 
@@ -47,27 +52,27 @@ def render_depth_differentiable(
     scene: RenderScene, config: RenderConfig, key: Array | None = None
 ) -> Array:
     """Depth with gradients w.r.t. vertices (detached traversal + re-derived t)."""
-    o, d = camera_rays(scene.camera, config.width, config.height, key=key)
+    o, d, inv_perm = camera_rays_tiled(scene.camera, config.width, config.height, key=key)
     hit = closest_hit(
         o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
         shared_origin=scene.camera.to_world[:3, 3],
     )
     hit = jax.tree.map(jax.lax.stop_gradient, hit)
     attrs = hit_attributes(o, d, hit, scene.geometry)
-    depth = jnp.where(hit.valid, attrs["t"], 0.0)
+    depth = jnp.where(hit.valid, attrs["t"], 0.0)[inv_perm]
     return depth.reshape(config.height, config.width)
 
 
 def render_segmentation(scene: RenderScene, config: RenderConfig) -> Array:
     """(H, W) int32 mesh-id map; 0 = background, mesh ids start at 1."""
-    o, d = camera_rays(scene.camera, config.width, config.height)
+    o, d, inv_perm = camera_rays_tiled(scene.camera, config.width, config.height)
     hit = closest_hit(
         o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
         shared_origin=scene.camera.to_world[:3, 3],
     )
     prim = jnp.maximum(hit.prim, 0)
     mesh_id = scene.geometry.face_mesh[prim] + 1
-    seg = jnp.where(hit.valid, mesh_id, 0)
+    seg = jnp.where(hit.valid, mesh_id, 0)[inv_perm]
     return seg.reshape(config.height, config.width).astype(jnp.int32)
 
 

@@ -383,6 +383,11 @@ def _kernel_shared(
 
             return jax.lax.fori_loop(0, CHUNK // unroll, unrolled, carry)
 
+        mode = _os.environ.get("FF_KERNEL_MODE", "full")  # debug bisection knob
+        if mode == "slab":
+            return (best_t + tnear * 0.0, best_p)
+        if mode == "noprune":
+            return process((best_t, best_p))
         return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
 
     if any_hit:

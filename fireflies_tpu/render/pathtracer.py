@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from fireflies_tpu.render import bsdf as bsdf_mod
 from fireflies_tpu.render import lights as lights_mod
 from fireflies_tpu.render.intersect import hit_attributes, closest_hit, occluded_any
-from fireflies_tpu.render.rays import camera_rays
+from fireflies_tpu.render.rays import camera_rays, camera_rays_tiled
 from fireflies_tpu.render.texture import bilinear_sample_stack
 from fireflies_tpu.render.types import RenderConfig, RenderScene
 
@@ -152,9 +152,13 @@ def trace_rays(
 
 
 def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
-    """One sample-per-pixel pass; (H*W, 3)."""
+    """One sample-per-pixel pass; (H*W, 3) in row-major pixel order."""
     k_pix, k_path = jax.random.split(key)
-    o, d = camera_rays(scene.camera, config.width, config.height, key=k_pix)
+    # Tile-major ray order: spatially local 2048-ray tiles so the Pallas
+    # kernels' per-tile cluster pruning is effective (see camera_rays_tiled).
+    o, d, inv_perm = camera_rays_tiled(
+        scene.camera, config.width, config.height, key=k_pix
+    )
     if config.ray_chunk and config.ray_chunk < o.shape[0]:
         n = o.shape[0]
         chunk = config.ray_chunk
@@ -172,10 +176,11 @@ def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
             ),
             (o, d),
         )
-        return out.reshape(-1, 3)[: config.width * config.height]
-    return trace_rays(
+        return out.reshape(-1, 3)[inv_perm]
+    radiance = trace_rays(
         scene, o, d, k_path, config, primary_origin=scene.camera.to_world[:3, 3]
     )
+    return radiance[inv_perm]
 
 
 def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:

@@ -8,6 +8,8 @@ fireflies/graphics/depth.py:139-160).  Convention: camera space looks down
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +47,48 @@ def camera_rays(
 
     ndc = pixel_to_ndc(px, py, width, height)
     return rays_from_ndc(camera, ndc)
+
+
+@functools.lru_cache(maxsize=32)
+def _tile_permutation(width: int, height: int, tile_w: int, tile_h: int):
+    """(perm, inv_perm) mapping row-major pixel order <-> tile-major order.
+
+    The Pallas intersection kernels prune triangle clusters per 2048-ray
+    tile; consecutive rays must be spatially LOCAL for that to bite.  In
+    row-major order a 2048-ray tile is four full-width image rows (a frustum
+    slab crossing the whole scene); in (tile_w x tile_h)-block order it is a
+    narrow cone.  Measured ~2x on interior scenes.
+    """
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    tile_idx = (ys // tile_h) * (-(-width // tile_w)) + (xs // tile_w)
+    within = (ys % tile_h) * tile_w + (xs % tile_w)
+    key = tile_idx.astype(np.int64) * (tile_w * tile_h) + within
+    perm = np.argsort(key.reshape(-1), kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    # Cache HOST arrays: caching jnp arrays would capture a tracer when the
+    # first call happens inside a trace (leak), and builder-held device
+    # arrays degrade the axon tunnel anyway.
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
+def camera_rays_tiled(
+    camera: Camera,
+    width: int,
+    height: int,
+    key: Array | None = None,
+    tile: tuple[int, int] = (128, 16),
+):
+    """Primary rays in tile-major order; returns (o, d, inv_perm).
+
+    Index the per-ray results with `inv_perm` to recover row-major pixel
+    order: `image = radiance[inv_perm].reshape(H, W, -1)`.
+    """
+    perm, inv = _tile_permutation(width, height, tile[0], tile[1])
+    o, d = camera_rays(camera, width, height, key=key)
+    return o[jnp.asarray(perm)], d[jnp.asarray(perm)], jnp.asarray(inv)
 
 
 def pixel_to_ndc(px: Array, py: Array, width: int, height: int) -> Array:

@@ -24,8 +24,18 @@ from flax import struct
 Array = jax.Array
 
 
-def _as_f32(x) -> Array:
-    arr = jnp.asarray(x, jnp.float32)
+def _as_f32(x):
+    """Normalize interval bounds to HOST numpy.
+
+    Sampler fields must be numpy, not jax.Array: jitted closures that
+    capture device-resident arrays permanently degrade dispatch latency on
+    the axon TPU tunnel (~30 ms/call), while numpy captures bake into the
+    executable as constants.  (jnp inputs pay one D2H here at build time —
+    builders should pass numpy/python values.)
+    """
+    import numpy as np
+
+    arr = np.asarray(x, np.float32)
     if arr.ndim == 0:
         arr = arr[None]
     return arr
@@ -57,10 +67,13 @@ class Sampler(struct.PyTreeNode):
     def set_index_interval(self, index: int, minimum: float, maximum: float) -> "Sampler":
         """Update one component's range (reference update_index_from_sampler,
         entity/base.py:144-149)."""
-        return self.replace(
-            min_range=self.min_range.at[index].set(minimum),
-            max_range=self.max_range.at[index].set(maximum),
-        )
+        import numpy as np
+
+        mn = np.array(self.min_range, np.float32)
+        mx = np.array(self.max_range, np.float32)
+        mn[index] = minimum
+        mx[index] = maximum
+        return self.replace(min_range=mn, max_range=mx)
 
     # -- sampling ------------------------------------------------------------
 

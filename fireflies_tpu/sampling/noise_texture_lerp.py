@@ -92,12 +92,14 @@ class NoiseTextureLerpSampler(Sampler):
 
     @classmethod
     def create(cls, color_a, color_b, texture_shape, eval_step_size: float = 0.01, **kw):  # type: ignore[override]
+        import numpy as np
+
         return cls(
-            min_range=jnp.zeros((1,), jnp.float32),
-            max_range=jnp.ones((1,), jnp.float32),
+            min_range=np.zeros((1,), np.float32),
+            max_range=np.ones((1,), np.float32),
             eval_step_size=float(eval_step_size),
-            color_a=jnp.asarray(color_a, jnp.float32),
-            color_b=jnp.asarray(color_b, jnp.float32),
+            color_a=np.asarray(color_a, np.float32),
+            color_b=np.asarray(color_b, np.float32),
             texture_shape=tuple(int(s) for s in texture_shape),
             **kw,
         )
@@ -129,8 +131,8 @@ class NoiseTextureLerpSampler(Sampler):
         lo, hi = jnp.min(tex), jnp.max(tex)
         tex = (tex - lo) / jnp.where(hi - lo == 0, 1.0, hi - lo)
 
-        ca = self.color_a[:, None, None]
-        cb = self.color_b[:, None, None]
+        ca = jnp.asarray(self.color_a)[:, None, None]
+        cb = jnp.asarray(self.color_b)[:, None, None]
         return ca + tex[None] * (cb - ca)
 
     def sample_eval(self, step: Array) -> Array:

@@ -67,9 +67,11 @@ class UniformScalarToVec3Sampler(Sampler):
 
     @classmethod
     def create(cls, minimum: float, maximum: float, eval_step_size: float = 0.01, **kw):
+        import numpy as np
+
         return cls(
-            min_range=jnp.full((3,), float(minimum), jnp.float32),
-            max_range=jnp.full((3,), float(maximum), jnp.float32),
+            min_range=np.full((3,), float(minimum), np.float32),
+            max_range=np.full((3,), float(maximum), np.float32),
             eval_step_size=float(eval_step_size),
             **kw,
         )
@@ -93,25 +95,27 @@ class AnimationSampler(Sampler):
     def create(  # type: ignore[override]
         cls, train_min: int, train_max: int, eval_min: int, eval_max: int, **kw
     ):
+        import numpy as np
+
         return cls(
             min_range=_as_f32(train_min),
             max_range=_as_f32(train_max),
-            train_min=jnp.asarray(train_min, jnp.int32),
-            train_max=jnp.asarray(train_max, jnp.int32),
-            eval_min=jnp.asarray(eval_min, jnp.int32),
-            eval_max=jnp.asarray(eval_max, jnp.int32),
+            train_min=np.int32(train_min),
+            train_max=np.int32(train_max),
+            eval_min=np.int32(eval_min),
+            eval_max=np.int32(eval_max),
             **kw,
         )
 
     def set_train_interval(self, lo: int, hi: int) -> "AnimationSampler":
-        return self.replace(
-            train_min=jnp.asarray(lo, jnp.int32), train_max=jnp.asarray(hi, jnp.int32)
-        )
+        import numpy as np
+
+        return self.replace(train_min=np.int32(lo), train_max=np.int32(hi))
 
     def set_eval_interval(self, lo: int, hi: int) -> "AnimationSampler":
-        return self.replace(
-            eval_min=jnp.asarray(lo, jnp.int32), eval_max=jnp.asarray(hi, jnp.int32)
-        )
+        import numpy as np
+
+        return self.replace(eval_min=np.int32(lo), eval_max=np.int32(hi))
 
     def sample_train(self, key: Array) -> Array:
         return jax.random.randint(

@@ -79,18 +79,13 @@ _PRIMITIVES = {
 
 
 def _world_from(spec: dict) -> np.ndarray:
+    # Host-only math (no device round-trips — see utils.math.look_at_np).
     if "world" in spec:
         return np.asarray(spec["world"], np.float32).reshape(4, 4)
     position = np.asarray(spec.get("position", [0.0, 0.0, 0.0]), np.float32)
     if "look_at" in spec:
-        return np.asarray(
-            ffmath.look_at(
-                jnp.asarray(position),
-                jnp.asarray(spec["look_at"], jnp.float32),
-                jnp.asarray(spec.get("up", [0.0, 1.0, 0.0]), jnp.float32),
-            )
-        )
-    return np.asarray(ffmath.translation_matrix(jnp.asarray(position)))
+        return ffmath.look_at_np(position, spec["look_at"], spec.get("up", [0.0, 1.0, 0.0]))
+    return ffmath.translation_matrix_np(position)
 
 
 def _apply_randomize(entity, spec: dict) -> None:
@@ -155,9 +150,7 @@ def load_scene(path: str | Path | dict):
         # reference's model: Mitsuba verts are world-space, randomization
         # rotates/scales about the recorded centroid, scene.py:118-132).
         if any(k in spec for k in ("world", "position", "look_at")):
-            verts = np.asarray(
-                ffmath.transform_points(jnp.asarray(verts), jnp.asarray(_world_from(spec)))
-            )
+            verts = ffmath.transform_points_np(verts, _world_from(spec))
         centroid = verts.mean(axis=0)
         mesh = ff.Mesh(spec["name"], verts - centroid, faces, uvs)
         mesh.set_centroid(centroid)

@@ -49,7 +49,9 @@ def build_projection_matrix(fov: float, near_clip: float, far_clip: float) -> jn
     k[3, 2] = z_sign
     k[2, 2] = z_sign * far_clip / (far_clip - near_clip)
     k[2, 3] = -(far_clip * near_clip) / (far_clip - near_clip)
-    return jnp.asarray(k)
+    # Returned as host numpy: this matrix is builder state; device copies
+    # captured in jit closures degrade the axon tunnel.
+    return k
 
 
 # ---------------------------------------------------------------------------

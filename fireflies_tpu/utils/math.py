@@ -164,6 +164,51 @@ def skew(v: Array) -> Array:
     )
 
 
+def look_at_np(origin, target, up=(0.0, 1.0, 0.0)):
+    """Pure-numpy look_at for host-side scene construction.
+
+    CRITICAL on the axon TPU tunnel: a single device->host transfer
+    (np.asarray of a jnp result) permanently degrades every subsequent
+    dispatch in the process to ~30 ms.  Asset/builder code must therefore
+    never round-trip through the device — use this, not np.asarray(look_at).
+    """
+    import numpy as np
+
+    origin = np.asarray(origin, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
+    fwd = target - origin
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+    right = np.cross(fwd, up)
+    right = right / (np.linalg.norm(right) + 1e-12)
+    true_up = np.cross(right, fwd)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0] = right
+    m[:3, 1] = true_up
+    m[:3, 2] = -fwd
+    m[:3, 3] = origin
+    return m
+
+
+def translation_matrix_np(t):
+    import numpy as np
+
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = np.asarray(t, np.float32)
+    return m
+
+
+def transform_points_np(points, matrix):
+    import numpy as np
+
+    points = np.asarray(points, np.float32)
+    homo = np.concatenate([points, np.ones((len(points), 1), np.float32)], -1)
+    out = homo @ np.asarray(matrix, np.float32).T
+    w = out[:, 3:4]
+    w = np.where(np.abs(w) < 1e-8, 1e-8, w)
+    return out[:, :3] / w
+
+
 def look_at(origin: Array, target: Array, up: Array) -> Array:
     """4x4 camera-to-world with camera looking down -Z at `target`, +Y ~ up."""
     origin = jnp.asarray(origin, jnp.float32)

@@ -32,13 +32,17 @@ class NURBSCurve(struct.PyTreeNode):
 
     @classmethod
     def create(cls, control_points, knots, degree: int, weights=None) -> "NURBSCurve":
-        cp = jnp.asarray(control_points, jnp.float32)
+        # Host numpy storage (device arrays captured in jit closures degrade
+        # the axon tunnel; see sampling.base._as_f32).
+        import numpy as np
+
+        cp = np.asarray(control_points, np.float32)
         if weights is None:
-            weights = jnp.ones((cp.shape[0],), jnp.float32)
+            weights = np.ones((cp.shape[0],), np.float32)
         return cls(
             control_points=cp,
-            weights=jnp.asarray(weights, jnp.float32),
-            knots=jnp.asarray(knots, jnp.float32),
+            weights=np.asarray(weights, np.float32),
+            knots=np.asarray(knots, np.float32),
             degree=int(degree),
         )
 
@@ -48,7 +52,7 @@ class NURBSCurve(struct.PyTreeNode):
         """All nonrational basis functions N_{i,p}(u), shape (N,)."""
         n_ctrl = self.control_points.shape[0]
         p = self.degree
-        knots = self.knots
+        knots = jnp.asarray(self.knots)
         # Clamp u strictly inside the valid domain so the half-open basis
         # intervals behave at the right end.
         lo = knots[p]
@@ -74,10 +78,10 @@ class NURBSCurve(struct.PyTreeNode):
     def evaluate(self, t: Array) -> Array:
         """Point on the curve at normalized parameter t in [0, 1]; (3,)."""
         u = self._param(t)
-        basis = self._basis(u) * self.weights
+        basis = self._basis(u) * jnp.asarray(self.weights)
         denom = jnp.sum(basis)
         denom = jnp.where(denom == 0, 1.0, denom)
-        return (basis @ self.control_points) / denom
+        return (basis @ jnp.asarray(self.control_points)) / denom
 
     def tangent(self, t: Array, eps: float = 1e-4) -> Array:
         """Unit tangent at t via central differences (adequate for camera
@@ -93,6 +97,7 @@ class NURBSCurve(struct.PyTreeNode):
         return jax.vmap(self.evaluate)(ts)
 
     def _param(self, t: Array) -> Array:
-        lo = self.knots[self.degree]
-        hi = self.knots[self.control_points.shape[0]]
+        knots = jnp.asarray(self.knots)
+        lo = knots[self.degree]
+        hi = knots[self.control_points.shape[0]]
         return lo + jnp.asarray(t, jnp.float32) * (hi - lo)
