@@ -34,7 +34,7 @@ def main() -> None:
     bounces = int(os.environ.get("BENCH_BOUNCES", 2))
     repeats = int(os.environ.get("BENCH_REPEATS", 20))
     resolution = int(os.environ.get("BENCH_RESOLUTION", 24))
-    batch = int(os.environ.get("BENCH_BATCH", 4))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
 
     scene, kw = ff_scenes.vocalfold(resolution=resolution, n_anim_frames=4)
     bridge = SceneBridge(scene, **kw)
