@@ -137,6 +137,20 @@ class SceneBridge:
         self._face_mesh = self._face_mesh[order]
         self._face_mat = self._face_mat[order]
 
+        # Area-light face set: faces bound to materials whose *default*
+        # emission is nonzero (static membership, like Mitsuba's declared
+        # area emitters; runtime randomization may change values).
+        emissive_mats = {
+            i
+            for i, m in enumerate(scene.materials())
+            if np.any(np.asarray(m.params().get("emission", 0.0), np.float32) > 0)
+        }
+        if emissive_mats:
+            sel = np.isin(self._face_mat, sorted(emissive_mats))
+            self._emissive_faces = np.where(sel)[0].astype(np.int32)
+        else:
+            self._emissive_faces = None
+
         # Which materials carry textures (static or sampled).
         self._n_materials = max(len(scene.materials()), 1)
         self._texture_mats = [
@@ -160,6 +174,11 @@ class SceneBridge:
             face_mat=jnp.asarray(self._face_mat),
             face_mesh=jnp.asarray(self._face_mesh),
             uvs=jnp.asarray(self._uvs) if self._uvs is not None else None,
+            emissive_faces=(
+                jnp.asarray(self._emissive_faces)
+                if self._emissive_faces is not None
+                else None
+            ),
         )
 
         # ---- materials ------------------------------------------------------

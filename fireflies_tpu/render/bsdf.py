@@ -71,12 +71,18 @@ def _g_smith_ggx(cos_v: Array, alpha: Array) -> Array:
 
 
 def evaluate(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
-    """BSDF value f(wo, wi); (N, 3).  Zero when wi is below the horizon."""
-    cos_o = jnp.sum(n * wo, axis=-1)
-    cos_i = jnp.sum(n * wi, axis=-1)
-    reflect_side = (cos_o > _EPS) & (cos_i > _EPS)
-    cos_o = jnp.maximum(jnp.abs(cos_o), _EPS)
-    cos_i = jnp.maximum(jnp.abs(cos_i), _EPS)
+    """BSDF value f(wo, wi); (N, 3).
+
+    Reflection lobes for wi above the horizon; Disney-thin diffuse
+    transmission (spec_trans) for wi below: f = sqrt(base_color)/pi *
+    spec_trans * (1 - metallic) — the thin-surface translucency the
+    reference randomizes on mucosa (main.py:106)."""
+    cos_o_s = jnp.sum(n * wo, axis=-1)
+    cos_i_s = jnp.sum(n * wi, axis=-1)
+    reflect_side = (cos_o_s > _EPS) & (cos_i_s > _EPS)
+    trans_side = (cos_o_s > _EPS) & (cos_i_s < -_EPS)
+    cos_o = jnp.maximum(jnp.abs(cos_o_s), _EPS)
+    cos_i = jnp.maximum(jnp.abs(cos_i_s), _EPS)
 
     h = wo + wi
     h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-20)
@@ -137,7 +143,14 @@ def evaluate(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
     ]
 
     f = f_diffuse + f_sheen + f_specular + f_clearcoat
-    return jnp.where(reflect_side[:, None], f, 0.0)
+
+    # ---- Thin diffuse transmission ----------------------------------------
+    trans_weight = params["spec_trans"] * (1.0 - metallic)
+    f_trans = jnp.sqrt(jnp.maximum(base, 0.0)) / jnp.pi * trans_weight[:, None]
+
+    return jnp.where(
+        reflect_side[:, None], f, jnp.where(trans_side[:, None], f_trans, 0.0)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -163,18 +176,23 @@ def _to_world(n: Array, t: Array, bt: Array, local: Array) -> Array:
     )
 
 
-def _diffuse_weight(params) -> Array:
-    """Lobe selection probability for the diffuse lobe."""
-    w_d = (1.0 - params["metallic"]) * (1.0 - params["spec_trans"])
-    return jnp.clip(w_d / (w_d + 1.0), 0.1, 0.9)
+def _lobe_probs(params) -> tuple[Array, Array, Array]:
+    """(p_diffuse, p_specular, p_transmission) lobe-selection probabilities."""
+    w_t = jnp.clip(params["spec_trans"] * (1.0 - params["metallic"]), 0.0, 1.0)
+    w_d = (1.0 - params["metallic"]) * (1.0 - w_t)
+    p_d = jnp.clip(w_d / (w_d + 1.0), 0.05, 0.9)
+    p_t = jnp.clip(0.9 * w_t, 0.0, 0.5)
+    scale = 1.0 - p_t
+    return p_d * scale, (1.0 - p_d) * scale, p_t
 
 
 def sample(params: dict[str, Array], n: Array, wo: Array, key: Array):
     """Importance-sample wi; returns (wi, pdf, f).
 
     One stochastic lobe choice per point: cosine-hemisphere for diffuse,
-    GGX-NDF for specular; pdf is the full mixture pdf so the estimator is
-    unbiased regardless of the branch taken.
+    GGX-NDF for specular, cosine *lower* hemisphere for thin transmission;
+    pdf is the full mixture pdf so the estimator is unbiased regardless of
+    the branch taken.
     """
     n_pts = n.shape[0]
     k_sel, k_a, k_b = jax.random.split(key, 3)
@@ -203,9 +221,12 @@ def sample(params: dict[str, Array], n: Array, wo: Array, key: Array):
     h = _to_world(n, t, bt, local_h)
     wi_spec = 2.0 * jnp.sum(wo * h, axis=-1, keepdims=True) * h - wo
 
-    p_diff = _diffuse_weight(params)
-    take_diff = u_sel < p_diff
+    p_d, p_s, p_t = _lobe_probs(params)
+    take_trans = u_sel >= (p_d + p_s)
+    take_diff = u_sel < p_d
     wi = jnp.where(take_diff[:, None], wi_diff, wi_spec)
+    # Transmission: mirror the cosine sample into the lower hemisphere.
+    wi = jnp.where(take_trans[:, None], -wi_diff, wi)
 
     pdf = pdf_fn(params, n, wo, wi)
     f = evaluate(params, n, wo, wi)
@@ -223,7 +244,9 @@ def pdf_fn(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
     alpha = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
     pdf_diff = jnp.maximum(cos_i, 0.0) / jnp.pi
     pdf_spec = _d_ggx(cos_h, alpha) * cos_h / (4.0 * cos_d)
+    pdf_trans = jnp.maximum(-cos_i, 0.0) / jnp.pi
 
-    p_diff = _diffuse_weight(params)
-    pdf = p_diff * pdf_diff + (1.0 - p_diff) * pdf_spec
-    return jnp.where(cos_i > _EPS, pdf, 0.0)
+    p_d, p_s, p_t = _lobe_probs(params)
+    pdf_up = p_d * pdf_diff + p_s * pdf_spec
+    pdf_down = p_t * pdf_trans
+    return jnp.where(cos_i > _EPS, pdf_up, jnp.where(cos_i < -_EPS, pdf_down, 0.0))

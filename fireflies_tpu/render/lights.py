@@ -152,6 +152,71 @@ def emitter_positions(lights: Lights, projector: Optional[Projector]) -> list[Ar
     return positions
 
 
+def sample_area_light(
+    geometry,
+    materials,
+    p: Array,
+    key: Array,
+):
+    """Sample one point on the scene's emissive faces for NEE.
+
+    Area-weighted face selection, uniform barycentric point.  Returns
+    (x (N,3) sampled points, n_l (N,3) light normals, Le (N,3) emission,
+    pdf_area (N,) area-measure pdf).  Requires geometry.emissive_faces.
+    """
+    import jax
+
+    efaces = geometry.faces[geometry.emissive_faces]  # (E, 3)
+    v0 = geometry.vertices[efaces[:, 0]]
+    v1 = geometry.vertices[efaces[:, 1]]
+    v2 = geometry.vertices[efaces[:, 2]]
+    cross = jnp.cross(v1 - v0, v2 - v0)
+    areas = 0.5 * jnp.linalg.norm(cross, axis=-1)  # (E,)
+    total_area = jnp.maximum(jnp.sum(areas), 1e-12)
+
+    n_pts = p.shape[0]
+    k_face, k_uv = jax.random.split(key)
+    # Area-weighted categorical pick per shading point.
+    cdf = jnp.cumsum(areas) / total_area
+    u = jax.random.uniform(k_face, (n_pts,))
+    idx = jnp.searchsorted(cdf, u)
+    idx = jnp.clip(idx, 0, areas.shape[0] - 1)
+
+    uv = jax.random.uniform(k_uv, (n_pts, 2))
+    su = jnp.sqrt(uv[:, 0])
+    b0 = 1.0 - su
+    b1 = uv[:, 1] * su
+    b2 = 1.0 - b0 - b1
+    x = (
+        b0[:, None] * v0[idx]
+        + b1[:, None] * v1[idx]
+        + b2[:, None] * v2[idx]
+    )
+    n_l = cross[idx]
+    n_l = n_l / (jnp.linalg.norm(n_l, axis=-1, keepdims=True) + 1e-20)
+    mat_id = geometry.face_mat[geometry.emissive_faces][idx]
+    emission = materials.emission[mat_id]
+    pdf_area = jnp.full((n_pts,), 1.0, jnp.float32) / total_area
+    return x, n_l, emission, pdf_area
+
+
+def area_pdf_of_hit(geometry, prim: Array) -> Array:
+    """Area-measure pdf the NEE sampler would assign to a hit on `prim`
+    (0 for non-emissive faces) — the MIS counterpart of sample_area_light."""
+    if geometry.emissive_faces is None:
+        return jnp.zeros(prim.shape, jnp.float32)
+    efaces = geometry.faces[geometry.emissive_faces]
+    v0 = geometry.vertices[efaces[:, 0]]
+    v1 = geometry.vertices[efaces[:, 1]]
+    v2 = geometry.vertices[efaces[:, 2]]
+    areas = 0.5 * jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1)
+    total_area = jnp.maximum(jnp.sum(areas), 1e-12)
+    is_emissive = jnp.zeros((geometry.faces.shape[0],), bool).at[
+        geometry.emissive_faces
+    ].set(True)
+    return jnp.where(is_emissive[jnp.maximum(prim, 0)], 1.0 / total_area, 0.0)
+
+
 def total_incident(lights: Lights, projector: Optional[Projector], p: Array):
     """Sum of incident radiance from every delta emitter (deterministic NEE —
     exact for few lights, used when config.deterministic_nee)."""

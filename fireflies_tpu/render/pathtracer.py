@@ -8,8 +8,9 @@ examples/01_hello_world.py:29): a wavefront integrator with
   * deterministic next-event estimation over every delta emitter (point /
     spot / projector) — exact for the few-light scenes this framework
     targets, drastically lower variance than one-light sampling;
-  * BSDF importance sampling for indirect bounces; emissive materials are
-    picked up on any hit (no area-light NEE yet — roadmapped);
+  * area-light NEE over emissive faces with power-heuristic MIS against
+    BSDF sampling; BSDF importance sampling for indirect bounces (diffuse /
+    GGX specular / thin transmission lobes);
   * detached traversal + differentiable shading: gradients flow to material
     params, light intensity, the projector texture (pattern optimization!),
     vertices and poses through `hit_attributes`.
@@ -72,6 +73,9 @@ def trace_rays(
         else jnp.zeros(3, jnp.float32)
     )
 
+    has_area_lights = scene.geometry.emissive_faces is not None
+    prev_pdf = jnp.zeros((n_rays,), jnp.float32)  # bsdf pdf of the ray that got here
+
     for bounce in range(config.max_bounces):
         bkey = jax.random.fold_in(key, bounce)
         hit = closest_hit(
@@ -103,9 +107,21 @@ def trace_rays(
         params = bsdf_mod.gather_params(scene.materials, attrs["mat_id"])
         params = _shading_base_color(scene, params, attrs)
 
-        # Emissive surfaces contribute directly on any hit.
+        # Emissive surfaces contribute on any hit; for BSDF-sampled bounces
+        # MIS-weight against the area-light NEE strategy (power heuristic) so
+        # emitters aren't double counted.
+        if has_area_lights and bounce > 0:
+            pdf_area_hit = lights_mod.area_pdf_of_hit(scene.geometry, hit.prim)
+            cos_l_hit = jnp.abs(jnp.sum(n_geo * d, axis=-1))
+            pdf_solid_hit = pdf_area_hit * (hit.t * hit.t) / jnp.maximum(cos_l_hit, 1e-6)
+            w_emit = (prev_pdf * prev_pdf) / jnp.maximum(
+                prev_pdf * prev_pdf + pdf_solid_hit * pdf_solid_hit, 1e-12
+            )
+            w_emit = jnp.where(pdf_solid_hit > 0, w_emit, 1.0)
+        else:
+            w_emit = jnp.ones((n_rays,), jnp.float32)
         radiance = radiance + jnp.where(
-            active[:, None], throughput * params["emission"], 0.0
+            active[:, None], throughput * params["emission"] * w_emit[:, None], 0.0
         )
 
         # ---- Next-event estimation over every delta emitter --------------
@@ -116,13 +132,19 @@ def trace_rays(
         positions = lights_mod.emitter_positions(scene.lights, scene.projector)
         for li, (wi_l, dist_l, rad_l) in enumerate(zip(wi_list, dist_list, rad_list)):
             lit = jnp.any(rad_l > 0.0, axis=-1) & active
+            # Shadow origin offset to the side the light is on: thin
+            # transmission (spec_trans) lets below-horizon emitters
+            # contribute through the surface.
+            cos_i_s = jnp.sum(n * wi_l, axis=-1)
+            side_l = jnp.where(cos_i_s >= 0, 1.0, -1.0)
+            shadow_o_l = p + n * (side_l * _SHADOW_EPS)[:, None]
             # Shadow segments reversed (light -> surface) so every ray in the
             # batch shares the light's origin — fast-kernel eligible.  The
             # direction is the unnormalized segment; t in (eps, 1 - eps)
             # excludes the endpoints (surface point already offset along n).
-            seg_d = jax.lax.stop_gradient(shadow_o - positions[li][None, :])
+            seg_d = jax.lax.stop_gradient(shadow_o_l - positions[li][None, :])
             blocked = occluded_any(
-                shadow_o,
+                shadow_o_l,
                 seg_d,
                 scene.geometry,
                 t_min=1e-4,
@@ -132,21 +154,69 @@ def trace_rays(
                 shared_origin=positions[li],
             )
             f = bsdf_mod.evaluate(params, n, wo, wi_l)
-            cos_i = jnp.maximum(jnp.sum(n * wi_l, axis=-1), 0.0)
+            cos_i = jnp.abs(cos_i_s)  # |cos|: f() already gates the side
             contrib = throughput * f * rad_l * cos_i[:, None]
             use = lit & ~blocked
             radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
 
+        # ---- Area-light NEE (emissive faces) ------------------------------
+        if has_area_lights:
+            x_l, n_l, le, pdf_area = lights_mod.sample_area_light(
+                scene.geometry, scene.materials, p, jax.random.fold_in(bkey, 3)
+            )
+            dir_a = x_l - p
+            side_a = jnp.where(jnp.sum(n * dir_a, axis=-1) >= 0, 1.0, -1.0)
+            shadow_o_a = p + n * (side_a * _SHADOW_EPS)[:, None]
+            seg = jax.lax.stop_gradient(x_l - shadow_o_a)
+            d2 = jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-12)
+            dist = jnp.sqrt(d2)
+            wi_a = seg / dist[:, None]
+            cos_s = jnp.abs(jnp.sum(n * wi_a, axis=-1))  # f() gates the side
+            cos_l = jnp.abs(jnp.sum(n_l * wi_a, axis=-1))
+            # Segment stops just short of the emitter face itself.
+            blocked_a = occluded_any(
+                shadow_o_a,
+                seg,
+                scene.geometry,
+                t_min=1e-4,
+                t_max=1.0 - 1e-3,
+                tri_chunk=config.tri_chunk,
+                backend=config.backend,
+            )
+            f_a = bsdf_mod.evaluate(params, n, wo, wi_a)
+            pdf_solid = pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
+            p_b = bsdf_mod.pdf_fn(params, n, wo, wi_a)
+            w_nee = (pdf_solid * pdf_solid) / jnp.maximum(
+                pdf_solid * pdf_solid + p_b * p_b, 1e-12
+            )
+            contrib_a = (
+                throughput
+                * f_a
+                * le
+                * (cos_s / jnp.maximum(pdf_solid, 1e-12) * w_nee)[:, None]
+            )
+            use_a = (
+                active
+                & ~blocked_a
+                & (cos_s > 0)
+                & (jnp.max(le, axis=-1) > 0)
+            )
+            radiance = radiance + jnp.where(use_a[:, None], contrib_a, 0.0)
+
         # ---- Indirect bounce --------------------------------------------
         if bounce + 1 < config.max_bounces:
             wi, pdf, f = bsdf_mod.sample(params, n, wo, jax.random.fold_in(bkey, 1))
-            cos_i = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
+            cos_i_s = jnp.sum(n * wi, axis=-1)
+            cos_i = jnp.abs(cos_i_s)  # |cos|: transmission goes below n
             safe_pdf = jnp.maximum(pdf, 1e-6)
             weight = jnp.where(pdf > 1e-6, cos_i / safe_pdf, 0.0)
             throughput = throughput * f * weight[:, None]
             active = active & (jnp.max(throughput, axis=-1) > 1e-5) & (pdf > 1e-6)
-            o = p + n * _SHADOW_EPS
+            # Offset the new origin to the side the ray leaves through.
+            side = jnp.where(cos_i_s >= 0, 1.0, -1.0)
+            o = p + n * (side * _SHADOW_EPS)[:, None]
             d = wi
+            prev_pdf = pdf
 
     return radiance
 

@@ -170,6 +170,11 @@ class Geometry(struct.PyTreeNode):
     face_mat: Array  # (F,) int32
     face_mesh: Array  # (F,) int32
     uvs: Optional[Array] = None  # (V, 2)
+    # Faces bound to materials with (statically) nonzero default emission —
+    # the area-light sample set for NEE.  Emission *values* may still be
+    # randomized at runtime; membership is static (Mitsuba area emitters are
+    # likewise declared, not discovered).
+    emissive_faces: Optional[Array] = None  # (E,) int32
 
     @property
     def num_faces(self) -> int:
