@@ -4,11 +4,13 @@ Restores the reference's empty examples/08_optimization.py: differentiate
 depth renders w.r.t. vertex positions (detached traversal + re-derived hit)
 and descend to match a target.
 
-Note: detached-traversal gradients cover *interior* shading/depth but not
-silhouettes — lateral (x/y) translation of an object against empty space has
-zero gradient until reparameterized visibility lands (ARCHITECTURE.md
-roadmap; Mitsuba gets this from its reparameterized integrators).  This
-example therefore optimizes the depth-axis offset, where gradients are exact.
+Two gradient regimes are demonstrated:
+  1. detached-traversal depth gradients (exact in lobe interiors) recover a
+     depth-axis offset;
+  2. SoftRas-style soft-silhouette gradients (render_soft_silhouette) recover
+     a LATERAL offset — the direction detached traversal cannot see
+     (Mitsuba gets this from reparameterized integrators; we get it from the
+     soft rasterizer).
 """
 
 import jax
@@ -53,8 +55,32 @@ if __name__ == "__main__":
         {"offset": jnp.asarray(0.0)}, loss_fn, jax.random.key(0), steps=200,
         learning_rate=1e-2,
     )
-    print("recovered offset:", float(res.params["offset"]), "target:", float(true_offset))
+    print("depth-axis recovered:", float(res.params["offset"]), "target:", float(true_offset))
+
+    # --- Part 2: lateral offset via soft silhouettes -----------------------
+    from fireflies_tpu.render import render_soft_silhouette
+
+    lateral_axis = jnp.array([1.0, 0.0, 0.0])
+
+    def sil_with_offset(offset):
+        params = dict(base_params)
+        params["mesh-Cube.vertex_positions"] = (
+            params["mesh-Cube.vertex_positions"] + lateral_axis[None, :] * offset
+        )
+        return render_soft_silhouette(bridge.assemble(params), cfg, sigma=2e-4)
+
+    true_lateral = jnp.asarray(0.3)
+    target_sil = sil_with_offset(true_lateral)
+
+    def sil_loss(trainable, key):
+        return jnp.mean((sil_with_offset(trainable["dx"]) - target_sil) ** 2)
+
+    res2 = optim.optimize_params(
+        {"dx": jnp.asarray(0.0)}, sil_loss, jax.random.key(0), steps=150,
+        learning_rate=2e-2,
+    )
+    print("lateral recovered:", float(res2.params["dx"]), "target:", float(true_lateral))
     (out_dir("08_optimization") / "result.txt").write_text(
-        f"recovered={float(res.params['offset'])}\ntarget={float(true_offset)}\n"
-        f"final_loss={float(res.losses[-1])}\n"
+        f"depth recovered={float(res.params['offset'])} target={float(true_offset)}\n"
+        f"lateral recovered={float(res2.params['dx'])} target={float(true_lateral)}\n"
     )

@@ -56,3 +56,7 @@ __all__ = [
     "points_to_ndc",
     "rays_from_ndc",
 ]
+
+from fireflies_tpu.render.soft import render_soft_silhouette, soft_silhouette  # noqa: E402,F401
+
+__all__ += ["render_soft_silhouette", "soft_silhouette"]
