@@ -164,6 +164,29 @@ def rays_to_texture_summed(
     return rasterization.sum_points(pts01, sigma, texture_size, chunk=chunk)
 
 
+def rays_to_texture_rgb(
+    rays_local: Array,
+    fov_deg: float,
+    sigma: float,
+    texture_size,
+    color=(0.0, 1.0, 0.0),
+    blur_kernel: int = 5,
+    blur_sigma: float = 3.0,
+    chunk: int = 64,
+) -> Array:
+    """The full projector-texture pipeline of the reference main loop
+    (main.py:64-77): summed beam splats -> gaussian blur -> colored RGB
+    texture (H, W, 3), ready for params["tex.data"].  Differentiable w.r.t.
+    the beam directions."""
+    from fireflies_tpu.postprocessing import gaussian_blur2d  # noqa: PLC0415
+
+    tex = rays_to_texture_summed(rays_local, fov_deg, sigma, texture_size, chunk=chunk)
+    if blur_kernel and blur_sigma > 0:
+        tex = gaussian_blur2d(tex, (blur_kernel, blur_kernel), (blur_sigma, blur_sigma))
+    color = jnp.asarray(color, jnp.float32)
+    return tex[..., None] * color[None, None, :]
+
+
 def epipolar_line_segments(
     rays_local: Array,
     laser_to_world: Array,
@@ -257,6 +280,9 @@ class Laser(Camera):
 
     def generate_texture_summed(self, sigma: float, texture_size) -> Array:
         return rays_to_texture_summed(self._rays, self._fov, sigma, texture_size)
+
+    def generate_texture_rgb(self, sigma: float, texture_size, **kw) -> Array:
+        return rays_to_texture_rgb(self._rays, self._fov, sigma, texture_size, **kw)
 
     def render_epipolar_lines(
         self, camera: Camera, sigma: float, texture_size, params: Optional[dict] = None

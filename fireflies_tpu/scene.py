@@ -93,6 +93,14 @@ class Scene:
         self._curves.append(curve)
         return curve
 
+    def load_curve(self, path: str, name: str = "Curve", interp_delta: float = 0.01) -> Curve:
+        """Import a Blender NURBS OBJ export as a Curve entity (reference
+        scene.py:239-241, fixed — upstream appends to a nonexistent attr)."""
+        from fireflies_tpu.utils.io import import_blender_nurbs_obj  # noqa: PLC0415
+
+        curve = Curve(name, import_blender_nurbs_obj(path), interp_delta=interp_delta)
+        return self.add_curve(curve)
+
     def set_camera(self, camera: Transformable) -> Transformable:
         self._camera = camera
         return camera

@@ -227,3 +227,17 @@ def test_shape_model_blend():
     scene.add_mesh(sm)
     v = scene.compile()(jax.random.key(0), 0)["mesh-shape.vertex_positions"]
     assert v.shape == (4, 3)
+
+
+def test_load_curve_from_blender_obj(tmp_path):
+    p = tmp_path / "curve.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 2 0 0\nv 3 0 0\n"
+        "deg 3\n"
+        "parm u 0 0 0 0 1 1 1 1\n"
+    )
+    scene = ff.Scene()
+    curve = scene.load_curve(str(p), name="curve-path")
+    assert scene.curves()[0] is curve
+    pt = curve.curve().evaluate(jnp.asarray(0.5))
+    np.testing.assert_allclose(pt, [1.5, 0, 0], atol=1e-5)
