@@ -44,15 +44,18 @@ def main() -> None:
         ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)) or 0,
     )
 
-    rays = laser_mod.generate_uniform_rays(0.0275, 12, 12)  # ~150-beam pattern
-    tex0 = laser_mod.rays_to_texture_summed(rays, 30.0, sigma=10.0, texture_size=(256, 256))
-    tex0 = jnp.stack([jnp.zeros_like(tex0), tex0, jnp.zeros_like(tex0)], -1)
+    rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)  # ~150-beam pattern
 
-    def loss(tex, key):
-        # Mean over a vmapped batch of randomized variants — the framework's
-        # production mode (variant-parallel rendering + gradient
-        # accumulation); fixed per-dispatch overheads amortize over `batch`
-        # differentiable renders.
+    def loss(rays, key):
+        # The north-star pattern-optimization step: differentiate the
+        # rendered structured-light images w.r.t. the laser beam directions
+        # THROUGH texture generation, averaged over a vmapped batch of
+        # randomized variants (gradient accumulation, the framework's
+        # production mode).
+        tex = laser_mod.rays_to_texture_rgb(
+            rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
+        )
+
         def one(k):
             params = dict(randomize(k, 0))
             params["tex.data"] = tex
@@ -64,18 +67,18 @@ def main() -> None:
 
     key = jax.random.key(0)
     # Warmup / compile.
-    val, grad = step(tex0, key)
+    val, grad = step(rays0, key)
     jax.block_until_ready((val, grad))
 
     # Chained data dependency: each step consumes the previous gradient, so
     # steps cannot be elided or dishonestly overlapped; a single
     # block_until_ready at the end measures true sustained throughput.
     t0 = time.perf_counter()
-    tex = tex0
+    rays = rays0
     for i in range(repeats):
-        val, grad = step(tex, jax.random.fold_in(key, i))
-        tex = tex + 0.0 * grad
-    jax.block_until_ready(tex)
+        val, grad = step(rays, jax.random.fold_in(key, i))
+        rays = rays + 0.0 * grad
+    jax.block_until_ready(rays)
     dt = time.perf_counter() - t0
 
     renders_per_sec = repeats * batch / dt

@@ -181,13 +181,21 @@ def occluded(
     return blocked
 
 
-def _use_pallas(backend: str) -> bool:
+# The Pallas kernels keep the triangle SoA in SMEM (scalar-indexable);
+# measured capacity on v5e tops out between 12k and 16k faces (x12 f32
+# components for the Woop variant).  Larger scenes fall back to the pure-JAX
+# scan until HBM->SMEM streaming lands (roadmap).
+PALLAS_MAX_TRIS = int(__import__("os").environ.get("FF_PALLAS_MAX_TRIS", 8192))
+
+
+def _use_pallas(backend: str, n_faces: int) -> bool:
     if backend == "pallas":
         return True
     if backend == "jax":
         return False
-    # auto: compiled Pallas on TPU-like backends, pure JAX elsewhere.
-    return jax.default_backend() not in ("cpu",)
+    # auto: compiled Pallas on TPU-like backends (within SMEM capacity),
+    # pure JAX elsewhere.
+    return jax.default_backend() not in ("cpu",) and n_faces <= PALLAS_MAX_TRIS
 
 
 def closest_hit(
@@ -206,7 +214,7 @@ def closest_hit(
     reversed shadow batches): the Pallas path then uses the Woop
     precomputed-transform kernel (~1.5x fewer ops per pair).
     """
-    if _use_pallas(backend):
+    if _use_pallas(backend, geometry.faces.shape[0]):
         from fireflies_tpu.render.pallas import (  # noqa: PLC0415
             intersect_pallas,
             intersect_pallas_shared,
@@ -240,7 +248,7 @@ def occluded_any(
     shared_origin: Array | None = None,
 ) -> Array:
     """Any-hit dispatcher (shadow rays).  See closest_hit for shared_origin."""
-    if _use_pallas(backend):
+    if _use_pallas(backend, geometry.faces.shape[0]):
         from fireflies_tpu.render.pallas import (  # noqa: PLC0415
             intersect_pallas,
             intersect_pallas_shared,
