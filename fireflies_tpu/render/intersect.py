@@ -214,7 +214,9 @@ def closest_hit(
     reversed shadow batches): the Pallas path then uses the Woop
     precomputed-transform kernel (~1.5x fewer ops per pair).
     """
-    if _use_pallas(backend, geometry.faces.shape[0]):
+    n_faces = geometry.faces.shape[0]
+    on_tpu = jax.default_backend() not in ("cpu",) and backend != "jax"
+    if _use_pallas(backend, n_faces):
         from fireflies_tpu.render.pallas import (  # noqa: PLC0415
             intersect_pallas,
             intersect_pallas_shared,
@@ -227,6 +229,25 @@ def closest_hit(
             )
         else:
             t, prim = intersect_pallas(
+                o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
+            )
+        valid = prim >= 0
+        zeros = jnp.zeros_like(t)
+        return Hit(t=t, prim=prim, u=zeros, v=zeros, valid=valid)
+    if on_tpu:
+        # Beyond SMEM residency: HBM-streamed double-buffered kernels.
+        from fireflies_tpu.render.pallas import (  # noqa: PLC0415
+            intersect_pallas_streamed,
+            intersect_pallas_streamed_general,
+        )
+
+        if shared_origin is not None:
+            t, prim = intersect_pallas_streamed(
+                shared_origin, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max,
+            )
+        else:
+            t, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
             )
         valid = prim >= 0
@@ -248,7 +269,9 @@ def occluded_any(
     shared_origin: Array | None = None,
 ) -> Array:
     """Any-hit dispatcher (shadow rays).  See closest_hit for shared_origin."""
-    if _use_pallas(backend, geometry.faces.shape[0]):
+    n_faces = geometry.faces.shape[0]
+    on_tpu = jax.default_backend() not in ("cpu",) and backend != "jax"
+    if _use_pallas(backend, n_faces):
         from fireflies_tpu.render.pallas import (  # noqa: PLC0415
             intersect_pallas,
             intersect_pallas_shared,
@@ -261,6 +284,23 @@ def occluded_any(
             )
         else:
             _, prim = intersect_pallas(
+                o, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max, any_hit=True,
+            )
+        return prim >= 0
+    if on_tpu:
+        from fireflies_tpu.render.pallas import (  # noqa: PLC0415
+            intersect_pallas_streamed,
+            intersect_pallas_streamed_general,
+        )
+
+        if shared_origin is not None:
+            _, prim = intersect_pallas_streamed(
+                shared_origin, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max, any_hit=True,
+            )
+        else:
+            _, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces,
                 t_min=t_min, t_max=t_max, any_hit=True,
             )

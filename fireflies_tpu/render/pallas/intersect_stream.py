@@ -1,0 +1,288 @@
+"""HBM-streamed shared-origin intersection kernel (large scenes).
+
+The resident kernels (intersect_kernel.py) keep the whole triangle SoA in
+SMEM — capacity caps out around 12k faces on v5e.  This variant keeps the
+Woop-transformed triangle data in HBM and double-buffers 128-triangle
+clusters into SMEM scratch with async DMA, overlapping the copy of cluster
+c+1 with the intersection math of cluster c.  Cluster AABBs still ride SMEM
+(6 floats per cluster) for the slab prune; pruned clusters skip compute but
+not the (cheap) DMA.
+
+Layout: woop data (16, Tpad) f32 — rows 0..11 = W rows + o', rows 12..15
+zero padding for the (8, 128) HBM tiling; Tpad a multiple of 128.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fireflies_tpu.render.pallas.intersect_kernel import (
+    LANES,
+    SUBLANES,
+    _BIG,
+    _EPS_BARY,
+    pack_dirs,
+    pack_triangles_woop,
+)
+
+Array = jax.Array
+
+STREAM_CHUNK = 128  # DMA granularity (lane-tile aligned)
+
+
+def pack_woop_streamed(vertices: Array, faces: Array, origin: Array | None):
+    """(woop16 (16, Tpad), boxes (6, NC)) with Tpad % 128 == 0.
+
+    With `origin`, rows 9..11 hold the per-tri constant o' = W(o - v0)
+    (shared-origin fast path).  Without, rows 9..11 hold W @ v0 so the kernel
+    can form o'_k = W_k . o - (W v0)_k per ray (general path); boxes are then
+    NOT origin-shifted.
+    """
+    zero = jnp.zeros(3, jnp.float32)
+    woop, boxes = pack_triangles_woop(
+        vertices, faces, origin if origin is not None else zero, chunk=STREAM_CHUNK
+    )
+    if origin is None:
+        # pack_triangles_woop with origin=0 gives rows 9..11 = W @ (0 - v0);
+        # negate to store W @ v0.
+        woop = woop.at[9:12, :].multiply(-1.0)
+    tpad = woop.shape[1]
+    woop16 = jnp.zeros((16, tpad), jnp.float32).at[:12, :].set(woop)
+    return woop16, boxes
+
+
+def _kernel_stream(
+    rays_ref, tmax_ref, box_ref, woop_hbm, out_t_ref, out_prim_ref,
+    scratch, sems, *, t_min, n_chunks, any_hit, shared,
+):
+    if shared:
+        dx, dy, dz = rays_ref[0], rays_ref[1], rays_ref[2]  # (16, 128)
+    else:
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+    tmax = tmax_ref[...]
+
+    def safe_inv(x):
+        tiny = jnp.abs(x) < 1e-30
+        sign = jnp.where(x < 0, -1.0, 1.0)
+        return jnp.where(tiny, sign * 1e30, 1.0 / jnp.where(tiny, 1.0, x))
+
+    inv_dx = safe_inv(dx)
+    inv_dy = safe_inv(dy)
+    inv_dz = safe_inv(dz)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            woop_hbm.at[:, pl.ds(c * STREAM_CHUNK, STREAM_CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+
+    def chunk_body(c, carry):
+        best_t, best_p = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma((c + 1) % 2, c + 1).start()
+
+        dma(slot, c).wait()
+
+        if shared:
+            t0x = box_ref[0, c] * inv_dx
+            t1x = box_ref[3, c] * inv_dx
+            t0y = box_ref[1, c] * inv_dy
+            t1y = box_ref[4, c] * inv_dy
+            t0z = box_ref[2, c] * inv_dz
+            t1z = box_ref[5, c] * inv_dz
+        else:
+            t0x = (box_ref[0, c] - ox) * inv_dx
+            t1x = (box_ref[3, c] - ox) * inv_dx
+            t0y = (box_ref[1, c] - oy) * inv_dy
+            t1y = (box_ref[4, c] - oy) * inv_dy
+            t0z = (box_ref[2, c] - oz) * inv_dz
+            t1z = (box_ref[5, c] - oz) * inv_dz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), jnp.minimum(tmax, best_t)),
+        )
+        tile_hits = jnp.any(tnear <= tfar)
+
+        def process(carry):
+            def tri_body(j, carry2):
+                bt, bp = carry2
+                w00 = scratch[slot, 0, j]
+                w01 = scratch[slot, 1, j]
+                w02 = scratch[slot, 2, j]
+                w10 = scratch[slot, 3, j]
+                w11 = scratch[slot, 4, j]
+                w12 = scratch[slot, 5, j]
+                w20 = scratch[slot, 6, j]
+                w21 = scratch[slot, 7, j]
+                w22 = scratch[slot, 8, j]
+                opx = scratch[slot, 9, j]
+                opy = scratch[slot, 10, j]
+                opz = scratch[slot, 11, j]
+
+                dpx = w00 * dx + w01 * dy + w02 * dz
+                dpy = w10 * dx + w11 * dy + w12 * dz
+                dpz = w20 * dx + w21 * dy + w22 * dz
+                if shared:
+                    o_x, o_y, o_z = opx, opy, opz
+                else:
+                    # rows 9..11 hold (W v0)_k: o'_k = W_k . o - (W v0)_k.
+                    o_x = w00 * ox + w01 * oy + w02 * oz - opx
+                    o_y = w10 * ox + w11 * oy + w12 * oz - opy
+                    o_z = w20 * ox + w21 * oy + w22 * oz - opz
+
+                tiny = jnp.abs(dpz) < 1e-12
+                inv_dpz = jnp.where(tiny, 0.0, 1.0 / jnp.where(tiny, 1.0, dpz))
+                t = -o_z * inv_dpz
+                u = o_x + t * dpx
+                v = o_y + t * dpy
+                ok = (
+                    ~tiny
+                    & (u >= -_EPS_BARY)
+                    & (v >= -_EPS_BARY)
+                    & (u + v <= 1.0 + _EPS_BARY)
+                    & (t > t_min)
+                    & (t < tmax)
+                    & (t < bt)
+                )
+                bt = jnp.where(ok, t, bt)
+                bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
+                return bt, bp
+
+            def unrolled(jj, carry2):
+                for k in range(4):
+                    carry2 = tri_body(jj * 4 + k, carry2)
+                return carry2
+
+            return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
+
+        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+
+    if any_hit:
+        def while_body(carry):
+            c, state = carry
+            return c + 1, chunk_body(c, state)
+
+        def while_cond(carry):
+            c, state = carry
+            return (c < n_chunks) & ~jnp.all(state[1] >= 0)
+
+        _, (best_t, best_p) = jax.lax.while_loop(
+            while_cond, while_body, (0, (best_t0, best_p0))
+        )
+    else:
+        best_t, best_p = jax.lax.fori_loop(0, n_chunks, chunk_body, (best_t0, best_p0))
+
+    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_prim_ref[...] = best_p
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret", "shared"))
+def _intersect_stream_packed(
+    dirs_soa: Array, tmax_tiles: Array, woop16: Array, boxes: Array,
+    t_min: float, any_hit: bool, interpret: bool, shared: bool = True,
+):
+    n_rows = dirs_soa.shape[1]
+    n_tiles = n_rows // SUBLANES
+    n_chunks = boxes.shape[1]
+    n_comp = dirs_soa.shape[0]
+    kernel = functools.partial(
+        _kernel_stream, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit, shared=shared
+    )
+    out_t, out_prim = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_comp, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # woop stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, 16, STREAM_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(dirs_soa, tmax_tiles, boxes, woop16)
+    return out_t, out_prim
+
+
+def intersect_pallas_streamed(
+    origin: Array,
+    d: Array,
+    vertices: Array,
+    faces: Array,
+    t_min: float = 1e-4,
+    t_max: Array | float = 1e30,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    """Shared-origin closest/any-hit for scenes beyond the SMEM-resident
+    kernel's capacity; (t (N,), prim (N,))."""
+    woop16, boxes = pack_woop_streamed(vertices, faces, origin)
+    dirs_soa, tmax_tiles, n = pack_dirs(d, t_max)
+    out_t, out_prim = _intersect_stream_packed(
+        jax.lax.stop_gradient(dirs_soa),
+        jax.lax.stop_gradient(tmax_tiles),
+        jax.lax.stop_gradient(woop16),
+        jax.lax.stop_gradient(boxes),
+        t_min,
+        any_hit,
+        interpret,
+        shared=True,
+    )
+    return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]
+
+
+def intersect_pallas_streamed_general(
+    o: Array,
+    d: Array,
+    vertices: Array,
+    faces: Array,
+    t_min: float = 1e-4,
+    t_max: Array | float = 1e30,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    """Per-ray-origin streamed closest/any-hit for large scenes."""
+    from fireflies_tpu.render.pallas.intersect_kernel import pack_rays  # noqa: PLC0415
+
+    woop16, boxes = pack_woop_streamed(vertices, faces, None)
+    rays_soa, tmax_tiles, n = pack_rays(o, d, t_max)
+    out_t, out_prim = _intersect_stream_packed(
+        jax.lax.stop_gradient(rays_soa),
+        jax.lax.stop_gradient(tmax_tiles),
+        jax.lax.stop_gradient(woop16),
+        jax.lax.stop_gradient(boxes),
+        t_min,
+        any_hit,
+        interpret,
+        shared=False,
+    )
+    return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]

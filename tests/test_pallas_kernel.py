@@ -72,3 +72,30 @@ def test_pack_triangles_boxes_cover_faces():
     cmax = boxes[3:, 0]
     assert bool(jnp.all(pts >= cmin[None, :] - 1e-5))
     assert bool(jnp.all(pts <= cmax[None, :] + 1e-5))
+
+
+def test_streamed_kernels_match_jax():
+    """HBM-streamed kernels (large-scene path) vs the JAX reference."""
+    from fireflies_tpu.render.pallas import (
+        intersect_pallas_streamed,
+        intersect_pallas_streamed_general,
+    )
+
+    geo, o, d = _soup(n_verts=400, n_faces=300, seed=3)
+    origin = jnp.asarray([0.0, 0.5, 4.0])
+    ob = jnp.broadcast_to(origin, d.shape)
+    ref = intersect.intersect_brute(ob, d, geo)
+    t, prim = intersect_pallas_streamed(
+        origin, d, geo.vertices, geo.faces, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+
+    ref2 = intersect.intersect_brute(o, d, geo)
+    t2, prim2 = intersect_pallas_streamed_general(
+        o, d, geo.vertices, geo.faces, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim2), np.asarray(ref2.prim))
+    hit = np.asarray(prim2) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t2)[hit], np.asarray(ref2.t)[hit], atol=1e-4
+    )
