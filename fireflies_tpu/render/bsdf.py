@@ -9,8 +9,10 @@ spec_trans, flatness.  Implemented lobes:
   * sheen
   * GGX specular with Schlick Fresnel (metallic/specular/spec_tint F0 mix)
   * GTR1 clearcoat
-  * spec_trans currently attenuates the diffuse lobe (thin transmission is
-    roadmapped); anisotropic accepted but isotropic alpha is used.
+  * Disney-thin diffuse transmission (spec_trans) with transmission-side
+    sampling
+  * anisotropic GGX (Disney aspect split, Heitz Smith-G1) oriented by the
+    UV-derived tangent frame when the mesh has UVs (arbitrary ONB otherwise)
 
 All functions are vectorized over N shading points with per-point parameter
 rows (gather `Materials` rows by mat_id first, see `gather_params`).
@@ -52,10 +54,32 @@ def _luminance(c: Array) -> Array:
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
+def _aniso_alphas(params) -> tuple[Array, Array]:
+    """Disney anisotropic roughness split: aspect = sqrt(1 - 0.9 aniso)."""
+    alpha = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+    aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(params["anisotropic"], 0.0, 1.0))
+    return jnp.maximum(alpha / aspect, 1e-4), jnp.maximum(alpha * aspect, 1e-4)
+
+
 def _d_ggx(cos_h: Array, alpha: Array) -> Array:
     a2 = alpha * alpha
     denom = cos_h * cos_h * (a2 - 1.0) + 1.0
     return a2 / jnp.maximum(jnp.pi * denom * denom, _EPS)
+
+
+def _d_ggx_aniso(hx: Array, hy: Array, hz: Array, ax: Array, ay: Array) -> Array:
+    """Anisotropic GGX NDF in the local (tangent, bitangent, normal) frame.
+    Reduces exactly to _d_ggx at ax == ay."""
+    q = (hx * hx) / (ax * ax) + (hy * hy) / (ay * ay) + hz * hz
+    return 1.0 / jnp.maximum(jnp.pi * ax * ay * q * q, _EPS)
+
+
+def _g1_smith_aniso(wx: Array, wy: Array, wz: Array, ax: Array, ay: Array) -> Array:
+    """Smith G1 with per-axis roughness (Heitz 2014); matches _g_smith_ggx
+    at ax == ay."""
+    wz2 = jnp.maximum(wz * wz, _EPS)
+    lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + (ax * ax * wx * wx + ay * ay * wy * wy) / wz2))
+    return 1.0 / (1.0 + lam)
 
 
 def _d_gtr1(cos_h: Array, alpha: Array) -> Array:
@@ -70,7 +94,10 @@ def _g_smith_ggx(cos_v: Array, alpha: Array) -> Array:
     return 2.0 * cos_v / jnp.maximum(cos_v + jnp.sqrt(a2 + c2 - a2 * c2), _EPS)
 
 
-def evaluate(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
+def evaluate(
+    params: dict[str, Array], n: Array, wo: Array, wi: Array,
+    tangent: Array | None = None,
+) -> Array:
     """BSDF value f(wo, wi); (N, 3).
 
     Reflection lobes for wi above the horizon; Disney-thin diffuse
@@ -119,16 +146,23 @@ def evaluate(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
         * (_schlick(cos_d) * (1.0 - metallic))[:, None]
     )
 
-    # ---- GGX specular ----------------------------------------------------
-    alpha = rough * rough
+    # ---- GGX specular (anisotropic-aware) ---------------------------------
     spec_color = (1.0 - params["spec_tint"])[:, None] + params["spec_tint"][:, None] * tint
     f0 = (
         (0.08 * params["specular"])[:, None] * spec_color * (1.0 - metallic)[:, None]
         + base * metallic[:, None]
     )
     fresnel = f0 + (1.0 - f0) * _schlick(cos_d)[:, None]
-    d_spec = _d_ggx(cos_h, alpha)
-    g_spec = _g_smith_ggx(cos_i, alpha) * _g_smith_ggx(cos_o, alpha)
+    ax, ay = _aniso_alphas(params)
+    t, bt = _frame(n, tangent)
+    hx = jnp.sum(h * t, axis=-1)
+    hy = jnp.sum(h * bt, axis=-1)
+    d_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay)
+    g_spec = _g1_smith_aniso(
+        jnp.sum(wi * t, -1), jnp.sum(wi * bt, -1), cos_i, ax, ay
+    ) * _g1_smith_aniso(
+        jnp.sum(wo * t, -1), jnp.sum(wo * bt, -1), cos_o, ax, ay
+    )
     f_specular = fresnel * (d_spec * g_spec / (4.0 * cos_i * cos_o))[:, None]
 
     # ---- Clearcoat -------------------------------------------------------
@@ -170,6 +204,22 @@ def _onb(n: Array):
     return t, bt
 
 
+def _frame(n: Array, tangent: Array | None):
+    """Shading tangent frame: the provided (UV-derived) tangent
+    orthonormalized against n, else a deterministic ONB.  Without authored
+    tangents anisotropy has no meaningful orientation — callers should pass
+    hit_attributes' tangent when UVs exist."""
+    if tangent is None:
+        return _onb(n)
+    t = tangent - n * jnp.sum(tangent * n, axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t_onb, bt_onb = _onb(n)
+    ok = norm[:, 0] > 1e-6
+    t = jnp.where(ok[:, None], t / jnp.maximum(norm, 1e-12), t_onb)
+    bt = jnp.cross(n, t)
+    return t, bt
+
+
 def _to_world(n: Array, t: Array, bt: Array, local: Array) -> Array:
     return (
         local[..., 0:1] * t + local[..., 1:2] * bt + local[..., 2:3] * n
@@ -186,7 +236,10 @@ def _lobe_probs(params) -> tuple[Array, Array, Array]:
     return p_d * scale, (1.0 - p_d) * scale, p_t
 
 
-def sample(params: dict[str, Array], n: Array, wo: Array, key: Array):
+def sample(
+    params: dict[str, Array], n: Array, wo: Array, key: Array,
+    tangent: Array | None = None,
+):
     """Importance-sample wi; returns (wi, pdf, f).
 
     One stochastic lobe choice per point: cosine-hemisphere for diffuse,
@@ -200,7 +253,7 @@ def sample(params: dict[str, Array], n: Array, wo: Array, key: Array):
     u1 = jax.random.uniform(k_a, (n_pts,))
     u2 = jax.random.uniform(k_b, (n_pts,))
 
-    t, bt = _onb(n)
+    t, bt = _frame(n, tangent)
 
     # Cosine-hemisphere sample.
     r = jnp.sqrt(u1)
@@ -211,13 +264,19 @@ def sample(params: dict[str, Array], n: Array, wo: Array, key: Array):
     )
     wi_diff = _to_world(n, t, bt, local_diff)
 
-    # GGX half-vector sample.
-    alpha = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
-    cos_h = jnp.sqrt(jnp.maximum((1.0 - u1) / (1.0 + (alpha * alpha - 1.0) * u1), 0.0))
-    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    # Anisotropic GGX half-vector sample (Heitz NDF parametrization;
+    # reduces to isotropic GGX at anisotropic = 0).
+    ax, ay = _aniso_alphas(params)
+    stretch = jnp.sqrt(jnp.maximum(u1 / jnp.maximum(1.0 - u1, 1e-9), 0.0))
     local_h = jnp.stack(
-        [sin_h * jnp.cos(phi), sin_h * jnp.sin(phi), cos_h], axis=-1
+        [
+            stretch * ax * jnp.cos(phi),
+            stretch * ay * jnp.sin(phi),
+            jnp.ones_like(u1),
+        ],
+        axis=-1,
     )
+    local_h = local_h / jnp.linalg.norm(local_h, axis=-1, keepdims=True)
     h = _to_world(n, t, bt, local_h)
     wi_spec = 2.0 * jnp.sum(wo * h, axis=-1, keepdims=True) * h - wo
 
@@ -228,12 +287,15 @@ def sample(params: dict[str, Array], n: Array, wo: Array, key: Array):
     # Transmission: mirror the cosine sample into the lower hemisphere.
     wi = jnp.where(take_trans[:, None], -wi_diff, wi)
 
-    pdf = pdf_fn(params, n, wo, wi)
-    f = evaluate(params, n, wo, wi)
+    pdf = pdf_fn(params, n, wo, wi, tangent=tangent)
+    f = evaluate(params, n, wo, wi, tangent=tangent)
     return wi, pdf, f
 
 
-def pdf_fn(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
+def pdf_fn(
+    params: dict[str, Array], n: Array, wo: Array, wi: Array,
+    tangent: Array | None = None,
+) -> Array:
     """Mixture pdf of `sample` for MIS; (N,)."""
     cos_i = jnp.sum(n * wi, axis=-1)
     h = wo + wi
@@ -241,9 +303,12 @@ def pdf_fn(params: dict[str, Array], n: Array, wo: Array, wi: Array) -> Array:
     cos_h = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
     cos_d = jnp.maximum(jnp.sum(wo * h, axis=-1), _EPS)
 
-    alpha = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+    ax, ay = _aniso_alphas(params)
+    t, bt = _frame(n, tangent)
+    hx = jnp.sum(h * t, axis=-1)
+    hy = jnp.sum(h * bt, axis=-1)
     pdf_diff = jnp.maximum(cos_i, 0.0) / jnp.pi
-    pdf_spec = _d_ggx(cos_h, alpha) * cos_h / (4.0 * cos_d)
+    pdf_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay) * cos_h / (4.0 * cos_d)
     pdf_trans = jnp.maximum(-cos_i, 0.0) / jnp.pi
 
     p_d, p_s, p_t = _lobe_probs(params)

@@ -355,4 +355,12 @@ def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
         uv1 = geometry.uvs[faces[:, 1]]
         uv2 = geometry.uvs[faces[:, 2]]
         out["uv"] = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+        # UV-derived tangent (orients anisotropic BSDF lobes): solve
+        # [e1; e2] = [duv1; duv2] [t; b] for t.
+        duv1 = uv1 - uv0
+        duv2 = uv2 - uv0
+        det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        inv = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / det_uv)
+        tangent = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
+        out["tangent"] = tangent
     return out

@@ -106,6 +106,7 @@ def trace_rays(
 
         params = bsdf_mod.gather_params(scene.materials, attrs["mat_id"])
         params = _shading_base_color(scene, params, attrs)
+        tangent = attrs.get("tangent")
 
         # Emissive surfaces contribute on any hit; for BSDF-sampled bounces
         # MIS-weight against the area-light NEE strategy (power heuristic) so
@@ -153,7 +154,7 @@ def trace_rays(
                 backend=config.backend,
                 shared_origin=positions[li],
             )
-            f = bsdf_mod.evaluate(params, n, wo, wi_l)
+            f = bsdf_mod.evaluate(params, n, wo, wi_l, tangent=tangent)
             cos_i = jnp.abs(cos_i_s)  # |cos|: f() already gates the side
             contrib = throughput * f * rad_l * cos_i[:, None]
             use = lit & ~blocked
@@ -183,9 +184,9 @@ def trace_rays(
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
             )
-            f_a = bsdf_mod.evaluate(params, n, wo, wi_a)
+            f_a = bsdf_mod.evaluate(params, n, wo, wi_a, tangent=tangent)
             pdf_solid = pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
-            p_b = bsdf_mod.pdf_fn(params, n, wo, wi_a)
+            p_b = bsdf_mod.pdf_fn(params, n, wo, wi_a, tangent=tangent)
             w_nee = (pdf_solid * pdf_solid) / jnp.maximum(
                 pdf_solid * pdf_solid + p_b * p_b, 1e-12
             )
@@ -205,7 +206,9 @@ def trace_rays(
 
         # ---- Indirect bounce --------------------------------------------
         if bounce + 1 < config.max_bounces:
-            wi, pdf, f = bsdf_mod.sample(params, n, wo, jax.random.fold_in(bkey, 1))
+            wi, pdf, f = bsdf_mod.sample(
+                params, n, wo, jax.random.fold_in(bkey, 1), tangent=tangent
+            )
             cos_i_s = jnp.sum(n * wi, axis=-1)
             cos_i = jnp.abs(cos_i_s)  # |cos|: transmission goes below n
             safe_pdf = jnp.maximum(pdf, 1e-6)

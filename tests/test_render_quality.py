@@ -176,3 +176,54 @@ def test_indirect_color_bleed():
     # Pixels near the red wall gain more red than blue from the bleed.
     left = gi[:, 2:8] - direct[:, 2:8]
     assert float(jnp.mean(left[..., 0])) > float(jnp.mean(left[..., 2]))
+
+
+def test_anisotropic_ggx():
+    """Anisotropy elongates the specular lobe along the bitangent (alpha_y
+    grows): f drops slower for wi tilted along y than along x, and
+    anisotropic=0 matches the isotropic formulas exactly."""
+    def f_at(aniso, direction):
+        mats = Materials.default(1).replace(
+            roughness=jnp.asarray([0.3]),
+            metallic=jnp.asarray([1.0]),
+            anisotropic=jnp.asarray([aniso]),
+        )
+        params = bsdf_mod.gather_params(mats, jnp.zeros(1, jnp.int32))
+        n = jnp.asarray([[0.0, 0.0, 1.0]])
+        tangent = jnp.asarray([[1.0, 0.0, 0.0]])
+        wo = jnp.asarray([[0.0, 0.0, 1.0]])
+        wi = jnp.asarray([direction], jnp.float32)
+        wi = wi / jnp.linalg.norm(wi)
+        return float(bsdf_mod.evaluate(params, n, wo, wi, tangent=tangent)[0, 0])
+
+    tilt_x = [0.35, 0.0, 0.94]
+    tilt_y = [0.0, 0.35, 0.94]
+    # Isotropic: symmetric.
+    assert f_at(0.0, tilt_x) == pytest.approx(f_at(0.0, tilt_y), rel=1e-4)
+    # Anisotropic (ax > ay): rougher along the tangent -> the lobe is WIDER
+    # for tilts along x than along y.
+    fx = f_at(0.9, tilt_x)
+    fy = f_at(0.9, tilt_y)
+    assert fx > 2.0 * fy
+
+    # Sampling consistency still holds with anisotropy.
+    mats = Materials.default(1).replace(
+        roughness=jnp.asarray([0.4]), anisotropic=jnp.asarray([0.8])
+    )
+    n_s = 8192
+    params = jax.tree.map(
+        lambda x: jnp.repeat(x, n_s, axis=0),
+        bsdf_mod.gather_params(mats, jnp.zeros(1, jnp.int32)),
+    )
+    n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n_s, 1))
+    tang = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (n_s, 1))
+    wo = jnp.tile(jnp.asarray([[0.3, 0.1, 0.9486833]]), (n_s, 1))
+    wi, pdf, f = bsdf_mod.sample(params, n, wo, jax.random.key(0), tangent=tang)
+    cos_i = jnp.maximum(wi[:, 2], 0.0)
+    est_is = jnp.mean(jnp.where(pdf > 1e-6, f[:, 0] * cos_i / jnp.maximum(pdf, 1e-6), 0.0))
+    u = jax.random.uniform(jax.random.key(1), (n_s, 2))
+    ct = u[:, 0]; st = jnp.sqrt(1 - ct**2); ph = 2 * jnp.pi * u[:, 1]
+    wi_u = jnp.stack([st * jnp.cos(ph), st * jnp.sin(ph), ct], -1)
+    f_u = bsdf_mod.evaluate(params, n, wo, wi_u, tangent=tang)
+    est_ref = jnp.mean(f_u[:, 0] * ct) * 2 * jnp.pi
+    assert float(est_is) == pytest.approx(float(est_ref), rel=0.15)
