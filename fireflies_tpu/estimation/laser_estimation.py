@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from pathlib import Path
 
 import numpy as np
 
@@ -51,6 +52,7 @@ class LaserConfig:
     smarty_max_radius: float = 32.0
     image_size: tuple[int, int] = (256, 256)  # (W, H) sampling-map resolution
     save_images: bool = False
+    save_dir: str = "."
 
 
 def probability_distribution_from_depth_maps(
@@ -275,6 +277,21 @@ def _initialize_smarty(
     keep = np.asarray(constraint)[pts[:, 0], pts[:, 1]] > 0
     pts = pts[keep]
     chosen = jnp.asarray(pts[:, 0] * render_config.width + pts[:, 1], jnp.int32)
+
+    if config.save_images:
+        # Debug dumps like the reference (laser_estimation.py:312,348):
+        # inferno variance map with chosen points inverted + constraint map.
+        from fireflies_tpu.utils.colormap import inferno  # noqa: PLC0415
+        from fireflies_tpu.utils.png import write_png  # noqa: PLC0415
+
+        vm = inferno(np.asarray(variance_map))
+        flat = vm.reshape(-1, 3)
+        flat[np.asarray(chosen)] = 1.0 - flat[np.asarray(chosen)]
+        write_png(
+            str(Path(config.save_dir) / "sampling_map.png"),
+            flat.reshape(vm.shape),
+        )
+        write_png(str(Path(config.save_dir) / "constraint_map.png"), constraint)
 
     laser_world = jnp.asarray(scene.projector().non_randomized_world())
     laser_origin = laser_world[:3, 3]

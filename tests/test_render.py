@@ -177,3 +177,31 @@ def test_vocalfold_scene_builds_and_renders():
     assert float((depth > 0).mean()) > 0.9  # folds+tube fill the view
     img = render_rgb(rs, jax.random.key(0), cfg)
     assert bool(jnp.all(jnp.isfinite(img))) and float(img.max()) > 0.0
+
+
+def test_ray_chunk_path_matches_unchunked():
+    scene = _facing_quad_scene(z=-2.0)
+    cfg_a = RenderConfig(width=16, height=16, spp=2, max_bounces=2, tri_chunk=64)
+    cfg_b = cfg_a.replace(ray_chunk=64)
+    a = render_rgb(scene, jax.random.key(3), cfg_a)
+    b = render_rgb(scene, jax.random.key(3), cfg_b)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_randomized_sweep_no_nans():
+    """64 random vocalfold variants: every AOV finite (debug-nans sweep)."""
+    scene, kwargs = ff_scenes.vocalfold(resolution=8, n_anim_frames=2)
+    scene.mesh("mesh-Vocalfold").scale_x(0.5, 2.0)
+    scene.material("mat-Mucosa").add_float_key("roughness", 0.0, 1.0)
+    scene.material("mat-Mucosa").add_float_key("spec_trans", 0.0, 0.4)
+    scene.material("mat-Mucosa").add_float_key("anisotropic", 0.0, 1.0)
+    bridge = SceneBridge(scene, **kwargs)
+    randomize = scene.compile()
+    cfg = RenderConfig(width=12, height=12, spp=1, max_bounces=2, tri_chunk=128)
+
+    def one(k):
+        rs = bridge.assemble(randomize(k, 0))
+        return render_rgb(rs, k, cfg)
+
+    imgs = jax.vmap(one)(jax.random.split(jax.random.key(0), 64))
+    assert bool(jnp.all(jnp.isfinite(imgs)))
