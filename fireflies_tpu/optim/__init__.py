@@ -1,4 +1,9 @@
-from fireflies_tpu.optim.inverse import InverseResult, image_l2, optimize_params
+from fireflies_tpu.optim.inverse import (
+    InverseResult,
+    hybrid_pose_loss,
+    image_l2,
+    optimize_params,
+)
 from fireflies_tpu.optim.pattern import (
     PatternOptResult,
     RenderOptResult,
@@ -16,6 +21,7 @@ __all__ = [
     "make_variant_loss",
     "dot_coverage_objective",
     "optimize_params",
+    "hybrid_pose_loss",
     "image_l2",
     "PatternOptResult",
     "RenderOptResult",

@@ -30,6 +30,36 @@ def image_l2(rendered: Array, target: Array) -> Array:
     return jnp.mean((rendered - target) ** 2)
 
 
+def hybrid_pose_loss(
+    rendered: Array,
+    target: Array,
+    soft_mask: Array,
+    target_mask: Array,
+    mask_weight: float = 1.0,
+    valid_mask: Array | None = None,
+):
+    """The supported pose/shape-fitting objective.
+
+    Combines the path tracer's exact *interior* gradients (appearance term,
+    optionally restricted to mutually-valid pixels) with the soft-silhouette
+    renderer's *boundary* gradients (mask IoU term) — together they cover
+    both gradient regimes (COMPONENTS.md gap #1): interiors move with
+    shading/parallax, silhouettes move with the soft mask.
+
+    rendered/target: (H, W, C) images; soft_mask/target_mask: (H, W) coverage.
+    """
+    if valid_mask is not None:
+        import jax as _jax
+
+        valid = _jax.lax.stop_gradient(valid_mask)
+        n = jnp.maximum(jnp.sum(valid), 1)
+        app = jnp.sum(jnp.where(valid[..., None], (rendered - target) ** 2, 0.0)) / n
+    else:
+        app = jnp.mean((rendered - target) ** 2)
+    sil = jnp.mean((soft_mask - target_mask) ** 2)
+    return app + mask_weight * sil
+
+
 def optimize_params(
     trainable_init: dict,
     loss_fn: Callable[[dict, Array], Array],

@@ -121,3 +121,31 @@ def test_behind_camera_faces_dropped():
     cfg = RenderConfig(width=16, height=16)
     mask = render_soft_silhouette(scene, cfg, sigma=1e-5)
     assert float(mask.max()) < 1e-5
+
+
+def test_hybrid_pose_recovery():
+    """Hybrid appearance+silhouette loss recovers a 2-DoF pose (lateral +
+    depth) that neither gradient regime could handle alone."""
+    from fireflies_tpu.render import render_depth_differentiable
+
+    cfg = RenderConfig(width=24, height=24, spp=1, max_bounces=1, tri_chunk=16)
+
+    def render_pair(dx, dz):
+        scene = _quad_scene(offset_x=dx, z=-2.0 + dz)
+        depth = render_depth_differentiable(scene, cfg)[..., None]
+        mask = render_soft_silhouette(scene, cfg, sigma=2e-4)
+        return depth, mask
+
+    td, tm = render_pair(jnp.asarray(0.2), jnp.asarray(-0.4))
+
+    def loss_fn(tr, key):
+        d, m = render_pair(tr["dx"], tr["dz"])
+        both = (d[..., 0] > 0) & (td[..., 0] > 0)
+        return optim.hybrid_pose_loss(d, td, m, tm, mask_weight=2.0, valid_mask=both)
+
+    res = optim.optimize_params(
+        {"dx": jnp.asarray(0.0), "dz": jnp.asarray(0.0)},
+        loss_fn, jax.random.key(0), steps=250, learning_rate=2e-2,
+    )
+    assert float(res.params["dx"]) == pytest.approx(0.2, abs=0.03)
+    assert float(res.params["dz"]) == pytest.approx(-0.4, abs=0.05)
