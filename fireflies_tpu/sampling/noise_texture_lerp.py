@@ -76,8 +76,8 @@ def rand_perlin_2d_octaves(
     ry, rx = res
     for k in range(octaves):
         sub = jax.random.fold_in(key, k)
-        cry = min(ry * 2**k, shape[0])
-        crx = min(rx * 2**k, shape[1])
+        cry = min(ry * 2**k, max(shape[0] // 2, 1))
+        crx = min(rx * 2**k, max(shape[1] // 2, 1))
         noise = noise + amplitude * rand_perlin_2d(sub, shape, (cry, crx))
         amplitude *= persistence
     return noise
@@ -105,10 +105,15 @@ class NoiseTextureLerpSampler(Sampler):
         )
 
     def _noise_stack(self, key: Array) -> Array:
-        """(n_res, H, W): one Perlin layer per candidate resolution."""
+        """(n_res, H, W): one Perlin layer per candidate resolution.
+
+        Resolutions are clamped to half the texture size: at res == size the
+        lattice spacing is one texel, every fractional coordinate is zero and
+        the noise degenerates to all-zeros."""
         layers = []
+        max_res = max(min(self.texture_shape[0], self.texture_shape[1]) // 2, 1)
         for i, e in enumerate(_RES_EXPONENTS):
-            r = min(2**e, self.texture_shape[0], self.texture_shape[1])
+            r = min(2**e, max_res)
             layers.append(rand_perlin_2d(jax.random.fold_in(key, i), self.texture_shape, (r, r)))
         return jnp.stack(layers)
 

@@ -205,3 +205,23 @@ def test_randomized_sweep_no_nans():
 
     imgs = jax.vmap(one)(jax.random.split(jax.random.key(0), 64))
     assert bool(jnp.all(jnp.isfinite(imgs)))
+
+
+def test_render_from_laser():
+    """Structured-light sparse depth: beams hit the quad; camera sees dots."""
+    from fireflies_tpu.render import render_from_laser
+    from fireflies_tpu.projection import laser as laser_mod
+
+    scene = _facing_quad_scene(z=-2.0)
+    rays_local = laser_mod.generate_uniform_rays_by_count(3, 3, 30.0)
+    origins = jnp.zeros((9, 3)) + jnp.asarray([0.3, 0.0, 0.0])  # offset projector
+    cfg = RenderConfig(width=32, height=32, tri_chunk=16)
+    ndc, depth, valid, image = render_from_laser(scene, origins, rays_local, cfg, sigma=1.0)
+    assert bool(jnp.all(valid))  # all beams land on the big quad in view
+    np.testing.assert_allclose(np.asarray(depth), 2.0, atol=0.1)  # view depth ~2
+    assert float(image.max()) > 1.0  # depth-weighted splats present
+    # Differentiable wrt beam directions.
+    g = jax.grad(
+        lambda r: jnp.sum(render_from_laser(scene, origins, r, cfg, sigma=1.0)[3])
+    )(rays_local)
+    assert bool(jnp.all(jnp.isfinite(g)))

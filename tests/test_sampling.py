@@ -109,3 +109,15 @@ def test_dart_throwing_spacing():
     d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
     np.fill_diagonal(d, 1e9)
     assert d.min() >= 0.05 * 0.999
+
+
+def test_noise_texture_eval_deterministic():
+    s = sampling.NoiseTextureLerpSampler.create([0, 0, 0], [1, 1, 1], (16, 16))
+    a = s.sample(jax.random.key(5), step=3, train=False)
+    b = s.sample(jax.random.key(9), step=3, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))  # key-independent
+    c = s.sample(jax.random.key(0), step=4, train=False)
+    assert float(jnp.abs(a - c).max()) > 1e-3  # steps differ
+    # And it jits.
+    d = jax.jit(lambda st: s.sample_eval(st))(jnp.asarray(3))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(a), atol=1e-6)
