@@ -201,8 +201,18 @@ class SceneBridge:
                 tex_rows, has_tex = [], []
                 tex_shape = None
                 for i, m in enumerate(mats):
-                    key = m.name() + ".base_color.data"
-                    if i in self._texture_mats and key in params:
+                    # Accept both plain and Mitsuba-nested texture keys
+                    # ("mat-X.base_color.data", "mat-X.brdf_0.base_color.data").
+                    prefix = m.name() + "."
+                    key = next(
+                        (
+                            k
+                            for k in params
+                            if k.startswith(prefix) and k.endswith("base_color.data")
+                        ),
+                        None,
+                    )
+                    if i in self._texture_mats and key is not None:
                         t = _chw_to_hwc(jnp.asarray(params[key], jnp.float32))
                         tex_shape = t.shape
                         tex_rows.append(t)

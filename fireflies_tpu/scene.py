@@ -51,7 +51,12 @@ _CANONICAL_PARAMS = set(PRINCIPLED_DEFAULTS) | {"intensity", "x_fov", "fov", "cu
 
 def canonical_param(key: str) -> Optional[str]:
     """Extract the canonical parameter name from a (possibly Mitsuba-style
-    nested) attribute key, e.g. 'brdf_0.roughness.value' -> 'roughness'."""
+    nested) attribute key, e.g. 'brdf_0.roughness.value' -> 'roughness'.
+
+    Keys ending in '.data' are TEXTURES (e.g. 'brdf_0.base_color.data',
+    main.py:132-136) — never alias them onto the scalar/vec3 field."""
+    if key.split(".")[-1] == "data":
+        return None
     for part in key.split("."):
         if part in _CANONICAL_PARAMS:
             return "fov" if part == "x_fov" else part
@@ -148,7 +153,13 @@ class Scene:
                     cam.set_world(np.asarray(params[base + ".to_world"]))
                 _register_leaf_attrs(cam, sub_items(base))
                 cam.set_randomizable(False)
-                scene.set_camera(cam)
+                if scene.camera() is None:
+                    scene.set_camera(cam)
+                else:
+                    # The reference's scenes carry the laser projector as the
+                    # SECOND perspective sensor ("PerspectiveCamera_1",
+                    # laser_estimation.py:256-268).
+                    scene.set_projector(cam)
             elif any(m in low for m in PROJ_KEYS):
                 proj = Transformable(base)
                 if base + ".to_world" in params:

@@ -225,3 +225,40 @@ def test_render_from_laser():
         lambda r: jnp.sum(render_from_laser(scene, origins, r, cfg, sigma=1.0)[3])
     )(rays_local)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_randomized_perlin_base_color_texture():
+    """The reference's production texture-randomization flow (main.py:132-136):
+    a NoiseTextureLerpSampler on 'brdf_0.base_color.data' drives the mucosa
+    albedo texture each randomize step, end to end through the renderer."""
+    from fireflies_tpu import sampling
+
+    scene, kwargs = ff_scenes.vocalfold(resolution=8, n_anim_frames=2)
+    mat = scene.material("mat-Mucosa")
+    mat.add_vec3_sampler(
+        "brdf_0.base_color.data",
+        sampling.NoiseTextureLerpSampler.create(
+            color_a=[1.0, 0.0, 0.0], color_b=[0.9, 0.1, 0.0],  # red family
+            texture_shape=(32, 32),
+        ),
+    )
+    bridge = SceneBridge(scene, **kwargs)
+    randomize = scene.compile()
+    params = randomize(jax.random.key(0), 0)
+    # Texture emitted under the user's key; base_color field NOT clobbered.
+    tex_keys = [k for k in params if k.endswith("base_color.data")]
+    assert tex_keys and params[tex_keys[0]].shape == (3, 32, 32)
+    assert params["mat-Mucosa.base_color"].shape == (3,)
+
+    rs = bridge.assemble(params)
+    assert rs.materials.textures is not None
+    assert bool(rs.materials.has_texture[0])
+    cfg = RenderConfig(width=24, height=24, spp=2, max_bounces=1, tri_chunk=128)
+    img = render_rgb(rs, jax.random.key(0), cfg)
+    # Red-family texture dominates the fold pixels.
+    assert float(img[..., 0].mean()) > 2.0 * float(img[..., 2].mean())
+    # Different keys give different textures -> different images.
+    img2 = render_rgb(
+        bridge.assemble(randomize(jax.random.key(3), 0)), jax.random.key(0), cfg
+    )
+    assert float(jnp.abs(img - img2).max()) > 1e-3

@@ -241,3 +241,20 @@ def test_load_curve_from_blender_obj(tmp_path):
     assert scene.curves()[0] is curve
     pt = curve.curve().evaluate(jnp.asarray(0.5))
     np.testing.assert_allclose(pt, [1.5, 0, 0], atol=1e-5)
+
+
+def test_second_perspective_sensor_becomes_projector():
+    """Reference convention: PerspectiveCamera_1 is the laser projector
+    (laser_estimation.py:256-268)."""
+    flat = {
+        "PerspectiveCamera.to_world": np.eye(4, dtype=np.float32),
+        "PerspectiveCamera.x_fov": 45.0,
+        "PerspectiveCamera_1.to_world": np.eye(4, dtype=np.float32),
+        "PerspectiveCamera_1.x_fov": 20.0,
+        "mesh-m.vertex_positions": np.zeros((3, 3), np.float32),
+        "mesh-m.faces": np.array([[0, 1, 2]], np.int32),
+    }
+    scene = ff.Scene.from_params(flat)
+    assert scene.camera().name() == "PerspectiveCamera"
+    assert scene.projector() is not None
+    assert scene.projector().name() == "PerspectiveCamera_1"
