@@ -60,3 +60,10 @@ __all__ = [
 from fireflies_tpu.render.soft import render_soft_silhouette, soft_silhouette  # noqa: E402,F401
 
 __all__ += ["render_soft_silhouette", "soft_silhouette"]
+
+from fireflies_tpu.render.reparam import (  # noqa: E402,F401
+    render_depth_reparam,
+    reparam_ndc,
+)
+
+__all__ += ["render_depth_reparam", "reparam_ndc"]
