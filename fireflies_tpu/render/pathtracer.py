@@ -37,17 +37,54 @@ _SHADOW_EPS = 1e-3
 
 
 def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
-    """Override base_color with texture lookups where materials carry one."""
-    if scene.materials.textures is None or "uv" not in attrs:
+    """Override base_color / roughness with texture lookups where materials
+    carry maps (Mitsuba: textured `base_color` / `roughness` on the
+    principled BSDF, reference main.py:127-136)."""
+    mats = scene.materials
+    if "uv" not in attrs:
         return params
-    tex_color = bilinear_sample_stack(
-        scene.materials.textures, attrs["mat_id"], attrs["uv"]
-    )
-    has_tex = scene.materials.has_texture[attrs["mat_id"]]
-    base = jnp.where(has_tex[:, None], tex_color, params["base_color"])
-    out = dict(params)
-    out["base_color"] = base
+    out = params
+    if mats.textures is not None:
+        tex_color = bilinear_sample_stack(mats.textures, attrs["mat_id"], attrs["uv"])
+        has_tex = mats.has_texture[attrs["mat_id"]]
+        out = dict(out)
+        out["base_color"] = jnp.where(
+            has_tex[:, None], tex_color, out["base_color"]
+        )
+    if mats.roughness_tex is not None:
+        tex_rough = bilinear_sample_stack(
+            mats.roughness_tex, attrs["mat_id"], attrs["uv"]
+        )[:, 0]
+        has_r = mats.has_roughness_tex[attrs["mat_id"]]
+        out = dict(out)
+        out["roughness"] = jnp.where(has_r, tex_rough, out["roughness"])
     return out
+
+
+def _shading_normal(scene: RenderScene, attrs: dict, n: Array) -> Array:
+    """Tangent-space normal mapping (Mitsuba `normalmap` BSDF wrapper):
+    ns = normalize(T x + B y + N z) with (x, y, z) = 2 rgb - 1, using the
+    UV-derived tangent from hit_attributes.  Falls back to the geometric
+    normal where the material has no map or the tangent is degenerate."""
+    mats = scene.materials
+    if mats.normal_tex is None or "uv" not in attrs or "tangent" not in attrs:
+        return n
+    rgb = bilinear_sample_stack(mats.normal_tex, attrs["mat_id"], attrs["uv"])
+    tloc = 2.0 * rgb - 1.0
+    t_raw = attrs["tangent"]
+    # Gram-Schmidt against the (flipped) shading-side geometric normal.
+    t = t_raw - jnp.sum(t_raw * n, axis=-1, keepdims=True) * n
+    t_len = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    ok = t_len[:, 0] > 1e-8
+    t = t / jnp.maximum(t_len, 1e-20)
+    b = jnp.cross(n, t)
+    ns = tloc[:, 0:1] * t + tloc[:, 1:2] * b + tloc[:, 2:3] * n
+    ns = ns / (jnp.linalg.norm(ns, axis=-1, keepdims=True) + 1e-20)
+    # Keep the mapped normal in the geometric hemisphere (grazing maps can
+    # flip it, which would punch light through the surface).
+    ns = jnp.where(jnp.sum(ns * n, axis=-1, keepdims=True) > 1e-4, ns, n)
+    has_n = mats.has_normal_tex[attrs["mat_id"]]
+    return jnp.where((has_n & ok)[:, None], ns, n)
 
 
 def trace_rays(
@@ -107,6 +144,10 @@ def trace_rays(
         params = bsdf_mod.gather_params(scene.materials, attrs["mat_id"])
         params = _shading_base_color(scene, params, attrs)
         tangent = attrs.get("tangent")
+        # Shading normal (normal-mapped where materials carry a map) drives
+        # BSDF evaluation/sampling and cosine factors; the geometric `n`
+        # keeps handling ray offsets and sidedness.
+        ns = _shading_normal(scene, attrs, n)
 
         # Emissive surfaces contribute on any hit; for BSDF-sampled bounces
         # MIS-weight against the area-light NEE strategy (power heuristic) so
@@ -154,8 +195,8 @@ def trace_rays(
                 backend=config.backend,
                 shared_origin=positions[li],
             )
-            f = bsdf_mod.evaluate(params, n, wo, wi_l, tangent=tangent)
-            cos_i = jnp.abs(cos_i_s)  # |cos|: f() already gates the side
+            f = bsdf_mod.evaluate(params, ns, wo, wi_l, tangent=tangent)
+            cos_i = jnp.abs(jnp.sum(ns * wi_l, axis=-1))  # |cos|: f() gates the side
             contrib = throughput * f * rad_l * cos_i[:, None]
             use = lit & ~blocked
             radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
@@ -172,7 +213,7 @@ def trace_rays(
             d2 = jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-12)
             dist = jnp.sqrt(d2)
             wi_a = seg / dist[:, None]
-            cos_s = jnp.abs(jnp.sum(n * wi_a, axis=-1))  # f() gates the side
+            cos_s = jnp.abs(jnp.sum(ns * wi_a, axis=-1))  # f() gates the side
             cos_l = jnp.abs(jnp.sum(n_l * wi_a, axis=-1))
             # Segment stops just short of the emitter face itself.
             blocked_a = occluded_any(
@@ -184,9 +225,9 @@ def trace_rays(
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
             )
-            f_a = bsdf_mod.evaluate(params, n, wo, wi_a, tangent=tangent)
+            f_a = bsdf_mod.evaluate(params, ns, wo, wi_a, tangent=tangent)
             pdf_solid = pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
-            p_b = bsdf_mod.pdf_fn(params, n, wo, wi_a, tangent=tangent)
+            p_b = bsdf_mod.pdf_fn(params, ns, wo, wi_a, tangent=tangent)
             w_nee = (pdf_solid * pdf_solid) / jnp.maximum(
                 pdf_solid * pdf_solid + p_b * p_b, 1e-12
             )
@@ -207,10 +248,10 @@ def trace_rays(
         # ---- Indirect bounce --------------------------------------------
         if bounce + 1 < config.max_bounces:
             wi, pdf, f = bsdf_mod.sample(
-                params, n, wo, jax.random.fold_in(bkey, 1), tangent=tangent
+                params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
             )
-            cos_i_s = jnp.sum(n * wi, axis=-1)
-            cos_i = jnp.abs(cos_i_s)  # |cos|: transmission goes below n
+            cos_i_s = jnp.sum(n * wi, axis=-1)  # geometric side (offsets)
+            cos_i = jnp.abs(jnp.sum(ns * wi, axis=-1))  # shading cosine
             safe_pdf = jnp.maximum(pdf, 1e-6)
             weight = jnp.where(pdf > 1e-6, cos_i / safe_pdf, 0.0)
             throughput = throughput * f * weight[:, None]
@@ -227,6 +268,8 @@ def trace_rays(
 def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
     """One sample-per-pixel pass; (H*W, 3) in row-major pixel order."""
     k_pix, k_path = jax.random.split(key)
+    if config.reparam:
+        return _film_render_reparam(scene, k_pix, k_path, config)
     # Tile-major ray order: spatially local 2048-ray tiles so the Pallas
     # kernels' per-tile cluster pruning is effective (see camera_rays_tiled).
     o, d, inv_perm = camera_rays_tiled(
@@ -256,9 +299,71 @@ def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
     return radiance[inv_perm]
 
 
+def _film_render_reparam(
+    scene: RenderScene, k_pix: Array, k_path: Array, config: RenderConfig
+) -> Array:
+    """Reparameterized one-sample pass: primary NDC samples are warped so
+    their gradients carry silhouette motion, and radiance is scaled by the
+    warp's area factor (primal 1).  EXPERIMENTAL — primary visibility only;
+    shadow/indirect discontinuities keep detached-traversal gradients.  See
+    render/reparam.py."""
+    from fireflies_tpu.render.rays import (  # noqa: PLC0415
+        _tile_permutation,
+        pixel_to_ndc,
+        rays_from_ndc,
+    )
+    from fireflies_tpu.render.reparam import reparam_ndc  # noqa: PLC0415
+
+    k_jit, k_warp = jax.random.split(k_pix)
+    w, h = config.width, config.height
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys)
+    jit_xy = jax.random.uniform(k_jit, (h * w, 2))
+    u = pixel_to_ndc(
+        px.reshape(-1) + jit_xy[:, 0], py.reshape(-1) + jit_xy[:, 1], w, h
+    )
+    u_rep, area = reparam_ndc(
+        scene.camera, u, scene.geometry, k_warp,
+        k_aux=config.reparam_k_aux, radius=config.reparam_radius,
+        tri_chunk=config.tri_chunk, backend=config.backend,
+    )
+    o, d = rays_from_ndc(scene.camera, u_rep)
+
+    perm, inv = _tile_permutation(w, h, 128, 16)
+    perm = jnp.asarray(perm)
+    radiance = trace_rays(
+        scene, o[perm], d[perm], k_path, config,
+        primary_origin=scene.camera.to_world[:3, 3],
+    )
+    radiance = radiance * area[perm][:, None]
+    return radiance[jnp.asarray(inv)]
+
+
 def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
     """Monte-Carlo RGB render, (H, W, 3).  spp accumulated via lax.scan so
-    compile time is independent of sample count."""
+    compile time is independent of sample count.
+
+    With config.reparam, the returned image's VALUE comes from an ordinary
+    detached pass and its GRADIENT from an independently-seeded
+    warped-area pass (render/reparam.py).  The decorrelation matters: a
+    nonlinear loss g(img) differentiates as g'(img) * d(img), and when the
+    same sample supplies both factors the product is biased — e.g. with an
+    L2 loss every boundary sample lands on the covered side where
+    (img - target) is exactly 0, silently killing all silhouette gradients
+    (measured: an emissive-quad depth recovery stalls with grad == 0.0).
+    Independent seeds restore E[g'(img)] * E[d(img)]."""
+    if config.reparam:
+        k_primal, k_grad = jax.random.split(key)
+        primal = jax.lax.stop_gradient(
+            render_rgb(scene, k_primal, config.replace(reparam=False))
+        )
+        grad_img = _render_rgb_samples(scene, k_grad, config)
+        return primal + grad_img - jax.lax.stop_gradient(grad_img)
+    return _render_rgb_samples(scene, key, config)
+
+
+def _render_rgb_samples(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
     keys = jax.random.split(key, config.spp)
 
     def body(acc, k):

@@ -130,8 +130,18 @@ class Materials(struct.PyTreeNode):
     flatness: Array
     ior: Array
     emission: Array  # (M, 3)
-    textures: Optional[Array] = None  # (M, Ht, Wt, 3)
+    textures: Optional[Array] = None  # (M, Ht, Wt, 3) base-color
     has_texture: Optional[Array] = None  # (M,) bool
+    # Optional roughness map stack, (M, Hr, Wr, 1) in [0, 1] — overrides the
+    # scalar `roughness` where has_roughness_tex (Mitsuba principled
+    # accepts textured roughness the same way).
+    roughness_tex: Optional[Array] = None
+    has_roughness_tex: Optional[Array] = None  # (M,) bool
+    # Optional tangent-space normal map stack, (M, Hn, Wn, 3) RGB in [0, 1]
+    # (n = 2 rgb - 1) — Mitsuba's `normalmap` BSDF wrapper.  Requires mesh
+    # UVs (the shading frame tangent comes from hit_attributes).
+    normal_tex: Optional[Array] = None
+    has_normal_tex: Optional[Array] = None  # (M,) bool
 
     @property
     def count(self) -> int:
@@ -221,3 +231,9 @@ class RenderConfig(struct.PyTreeNode):
     ray_chunk: int = struct.field(pytree_node=False, default=0)  # 0 = no chunking
     tri_chunk: int = struct.field(pytree_node=False, default=512)
     backend: str = struct.field(pytree_node=False, default="auto")  # jax | pallas | auto
+    # EXPERIMENTAL: warped-area reparameterization of primary rays
+    # (render/reparam.py) — adds silhouette/visibility gradients to
+    # render_rgb at ~3x reparam_k_aux extra primary traversals per sample.
+    reparam: bool = struct.field(pytree_node=False, default=False)
+    reparam_k_aux: int = struct.field(pytree_node=False, default=8)
+    reparam_radius: float = struct.field(pytree_node=False, default=0.05)

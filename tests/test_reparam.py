@@ -140,6 +140,118 @@ def test_occluder_over_receiver_matches_analytic():
     assert g == pytest.approx(ref, rel=0.15), (g, ref, grads)
 
 
+def test_render_rgb_reparam_flag_emissive_area_growth():
+    """RenderConfig(reparam=True) end-to-end: an emissive quad moving toward
+    the camera grows its screen coverage; with constant emission E the
+    image mean is I = E * (s / (|z| tanf))^2, so
+
+        dI/ddz = E * 2 s^2 / (tanf^2 |z|^3)      (|z| = 2 - dz)
+
+    — a pure boundary term (the detached renderer reports 0 per channel)."""
+    from fireflies_tpu.render.pathtracer import render_rgb
+
+    emission = jnp.array([2.0, 1.0, 0.5], jnp.float32)
+
+    def scene(dz):
+        half = HALF
+        z = Z + dz
+        verts = jnp.stack(
+            [
+                jnp.stack([-half + 0 * dz, -half + 0 * dz, z]),
+                jnp.stack([half + 0 * dz, -half + 0 * dz, z]),
+                jnp.stack([half + 0 * dz, half + 0 * dz, z]),
+                jnp.stack([-half + 0 * dz, half + 0 * dz, z]),
+            ]
+        )
+        faces = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        geo = Geometry(
+            vertices=verts,
+            faces=faces,
+            face_mat=jnp.zeros(2, jnp.int32),
+            face_mesh=jnp.zeros(2, jnp.int32),
+        )
+        mats = Materials.default(1).replace(emission=emission[None, :])
+        return RenderScene(
+            geometry=geo,
+            materials=mats,
+            lights=Lights.empty(),
+            camera=Camera.create(jnp.eye(4), fov=FOV),
+        )
+
+    tanf = np.tan(np.deg2rad(FOV / 2.0))
+    ref = np.asarray(emission) * 2.0 * HALF**2 / (tanf**2 * 2.0**3)
+
+    cfg0 = RenderConfig(width=96, height=96, spp=2, max_bounces=1, tri_chunk=16)
+
+    def mean_img(dz, cfg, seed):
+        return jnp.mean(
+            render_rgb(scene(dz), jax.random.key(seed), cfg), axis=(0, 1)
+        )
+
+    g_detached = jax.jacrev(lambda dz: mean_img(dz, cfg0, 0))(jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(g_detached), 0.0, atol=1e-6)
+
+    cfg1 = cfg0.replace(reparam=True, reparam_k_aux=8, reparam_radius=0.06)
+    grads = [
+        np.asarray(jax.jacrev(lambda dz: mean_img(dz, cfg1, s))(jnp.asarray(0.0)))
+        for s in range(3)
+    ]
+    g = np.mean(grads, axis=0)
+    np.testing.assert_allclose(g, ref, rtol=0.15)
+    # Primal agrees with the analytic mean either way (the flag changes only
+    # the pixel-jitter key path, so exact equality isn't expected).
+    truth = float(np.mean(np.asarray(emission))) * (HALF / (2.0 * tanf)) ** 2
+    a = float(jnp.mean(render_rgb(scene(jnp.asarray(0.0)), jax.random.key(5), cfg0)))
+    b = float(jnp.mean(render_rgb(scene(jnp.asarray(0.0)), jax.random.key(5), cfg1)))
+    assert a == pytest.approx(truth, rel=0.02)
+    assert b == pytest.approx(truth, rel=0.02)
+
+
+def test_reparam_rgb_nonlinear_loss_decorrelated():
+    """Regression: with a nonlinear (L2) loss, a correlated value/derivative
+    estimate kills boundary gradients — every boundary sample lands on the
+    covered side where (img - target) == 0, so grad was EXACTLY 0.0 and
+    optimization stalled.  render_rgb decorrelates (independent seeds for
+    value and gradient); the L2 gradient must now point back toward the
+    target from both sides."""
+    from fireflies_tpu.render.pathtracer import render_rgb
+
+    emission = jnp.array([2.0, 1.0, 0.5], jnp.float32)
+
+    def scene(dz):
+        z = Z + dz
+        verts = jnp.stack(
+            [
+                jnp.stack([sx * HALF + 0 * dz, sy * HALF + 0 * dz, z])
+                for sx, sy in [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+            ]
+        )
+        faces = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        geo = Geometry(
+            vertices=verts, faces=faces,
+            face_mat=jnp.zeros(2, jnp.int32), face_mesh=jnp.zeros(2, jnp.int32),
+        )
+        return RenderScene(
+            geometry=geo,
+            materials=Materials.default(1).replace(emission=emission[None, :]),
+            lights=Lights.empty(),
+            camera=Camera.create(jnp.eye(4), fov=FOV),
+        )
+
+    cfg = RenderConfig(width=64, height=64, spp=1, max_bounces=1, tri_chunk=16,
+                       reparam=True, reparam_radius=0.08)
+    target = render_rgb(scene(jnp.asarray(-0.5)), jax.random.key(42), cfg)
+
+    def loss(dz, seed):
+        img = render_rgb(scene(dz), jax.random.key(seed), cfg)
+        return jnp.mean((img - target) ** 2)
+
+    g_before = np.mean([float(jax.grad(loss)(jnp.asarray(0.0), s)) for s in range(3)])
+    g_after = np.mean([float(jax.grad(loss)(jnp.asarray(-0.75), s)) for s in range(3)])
+    assert g_before > 0.05  # quad too close/too large -> push dz negative
+    assert g_after < -1e-3  # overshot -> push dz back up (was exactly 0.0)
+
+
 def test_boundary_gradient_zero_when_symmetric():
     """At dx = 0 the two vertical edges carry equal-and-opposite flux."""
     ref = _analytic_boundary_grad(0.0)
