@@ -59,6 +59,23 @@ class Material(Transformable):
     def texture(self):
         return self._texture
 
+    def set_roughness_texture(self, texture) -> None:
+        """Attach a roughness map (H, W) in [0, 1] — Mitsuba's textured
+        `roughness` on the principled BSDF."""
+        self._roughness_texture = texture
+
+    def roughness_texture(self):
+        return getattr(self, "_roughness_texture", None)
+
+    def set_normal_texture(self, texture) -> None:
+        """Attach a tangent-space normal map (H, W, 3), RGB in [0, 1]
+        (n = 2 rgb - 1) — Mitsuba's `normalmap` BSDF wrapper.  The mesh
+        needs UVs (the tangent frame comes from them)."""
+        self._normal_texture = texture
+
+    def normal_texture(self):
+        return getattr(self, "_normal_texture", None)
+
     # Spatial ops are meaningless on materials; warn like the reference
     # (material/base.py:29-91, implementing the intent of its broken
     # translation/world decorators).

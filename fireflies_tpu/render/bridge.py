@@ -159,6 +159,17 @@ class SceneBridge:
             if m.texture() is not None
             or any("base_color.data" in k for k in m.vec3_attributes())
         ]
+        # Host numpy (anti-poisoning, see _background above).
+        self._roughness_texs = {
+            i: np.asarray(m.roughness_texture(), np.float32)
+            for i, m in enumerate(scene.materials())
+            if m.roughness_texture() is not None
+        }
+        self._normal_texs = {
+            i: np.asarray(m.normal_texture(), np.float32)
+            for i, m in enumerate(scene.materials())
+            if m.normal_texture() is not None
+        }
 
     # ------------------------------------------------------------------
 
@@ -228,6 +239,40 @@ class SceneBridge:
                 materials = materials.replace(
                     textures=jnp.stack(tex_rows), has_texture=jnp.asarray(has_tex)
                 )
+            # Roughness / normal maps: static from the Material entities,
+            # overridable per step via "<mat>.roughness.data" /
+            # "<mat>.normalmap.data" params (Mitsuba-style keys).
+            for attr, static_texs, field, flag, chans in (
+                ("roughness.data", self._roughness_texs, "roughness_tex",
+                 "has_roughness_tex", 1),
+                ("normalmap.data", self._normal_texs, "normal_tex",
+                 "has_normal_tex", 3),
+            ):
+                rows, has, shape = [], [], None
+                for i, m in enumerate(mats):
+                    val = params.get(m.name() + "." + attr)
+                    if val is None and i in static_texs:
+                        val = static_texs[i]
+                    if val is not None:
+                        t = jnp.asarray(val, jnp.float32)
+                        if chans == 1 and t.ndim == 2:
+                            t = t[..., None]
+                        elif chans == 3:
+                            t = _chw_to_hwc(t)
+                        shape = t.shape
+                        rows.append(t)
+                        has.append(True)
+                    else:
+                        rows.append(None)
+                        has.append(False)
+                if shape is not None:
+                    rows = [
+                        r if r is not None else jnp.zeros(shape, jnp.float32)
+                        for r in rows
+                    ]
+                    materials = materials.replace(
+                        **{field: jnp.stack(rows), flag: jnp.asarray(has)}
+                    )
         else:
             materials = Materials.default(1)
 
