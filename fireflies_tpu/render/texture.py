@@ -42,6 +42,12 @@ def bilinear_sample_stack(textures: Array, index: Array, uv: Array) -> Array:
 
     index: (N,) int32 selecting the texture per point; uv: (N, 2).
     """
+    if textures.ndim != 4:
+        # A (H, W, C) texture passed where a stack was meant silently
+        # reinterprets H as the material axis and samples garbage.
+        raise ValueError(
+            f"texture stack must be (M, H, W, C); got shape {textures.shape}"
+        )
     gathered = textures[index]  # (N, H, W, C) — fine for small M; renderer
     # gathers whole rows only when materials actually have textures.
     h, w = gathered.shape[1], gathered.shape[2]

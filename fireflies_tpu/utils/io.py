@@ -137,6 +137,142 @@ def save_obj(path: str | os.PathLike, vertices, faces) -> None:
             f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
 
 
+_PLY_DTYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: str | os.PathLike) -> dict:
+    """Stanford PLY loader (ascii + binary little/big-endian).
+
+    Mitsuba scenes commonly reference `.ply` shapes (shape type "ply",
+    mirrored by utils/mitsuba_xml.py); the reference loads them through
+    Mitsuba's own plugins.  Returns the same dict shape as load_obj:
+    vertices (V, 3) f32, faces (F, 3) i32 (n-gons fan-triangulated),
+    uvs (V, 2) f32 or None (from s/t | u/v | texture_u/v vertex props),
+    normals (V, 3) f32 or None.  face_uvs is None (PLY uvs are per-vertex).
+    """
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements: list[tuple[str, int, list]] = []  # (name, count, props)
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unterminated PLY header")
+            tokens = line.decode("ascii", "replace").strip().split()
+            if not tokens or tokens[0] == "comment":
+                continue
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                elements.append((tokens[1], int(tokens[2]), []))
+            elif tokens[0] == "property":
+                if tokens[1] == "list":
+                    elements[-1][2].append(
+                        ("list", _PLY_DTYPES[tokens[2]], _PLY_DTYPES[tokens[3]],
+                         tokens[4])
+                    )
+                else:
+                    elements[-1][2].append(("scalar", _PLY_DTYPES[tokens[1]], tokens[2]))
+            elif tokens[0] == "end_header":
+                break
+        if fmt is None:
+            raise ValueError(f"{path}: PLY header missing format")
+        endian = {"binary_little_endian": "<", "binary_big_endian": ">"}.get(fmt)
+
+        data: dict[str, dict[str, np.ndarray] | list] = {}
+        for name, count, props in elements:
+            if endian is None:  # ascii
+                rows = [f.readline().split() for _ in range(count)]
+                cols: dict[str, np.ndarray] = {}
+                lists: list[list[int]] = []
+                for p in props:
+                    if p[0] == "list":
+                        lists = [
+                            [float(x) for x in row[1 : 1 + int(row[0])]]
+                            for row in rows
+                        ]
+                    else:
+                        idx = sum(1 for q in props[: props.index(p)] if q[0] == "scalar")
+                        cols[p[2]] = np.array(
+                            [float(r[idx]) for r in rows], np.dtype(p[1])
+                        )
+                data[name] = {"cols": cols, "lists": lists}
+            elif all(p[0] == "scalar" for p in props):
+                dtype = np.dtype([(p[2], endian + p[1]) for p in props])
+                arr = np.frombuffer(f.read(dtype.itemsize * count), dtype=dtype)
+                data[name] = {"cols": {p[2]: arr[p[2]] for p in props}, "lists": []}
+            else:
+                # Mixed/list properties: parse row by row (faces are small).
+                lists = []
+                for _ in range(count):
+                    for p in props:
+                        if p[0] == "list":
+                            n = int(
+                                np.frombuffer(
+                                    f.read(np.dtype(p[1]).itemsize),
+                                    dtype=endian + p[1],
+                                )[0]
+                            )
+                            item = np.dtype(p[2]).itemsize
+                            vals = np.frombuffer(
+                                f.read(item * n), dtype=endian + p[2]
+                            )
+                            lists.append([int(v) for v in vals])
+                        else:
+                            f.read(np.dtype(p[1]).itemsize)
+                data[name] = {"cols": {}, "lists": lists}
+
+    if "vertex" not in data:
+        raise ValueError(f"{path}: PLY has no vertex element")
+    vcols = data["vertex"]["cols"]
+    vertices = np.stack(
+        [np.asarray(vcols[a], np.float32) for a in ("x", "y", "z")], axis=-1
+    )
+    normals = None
+    if all(a in vcols for a in ("nx", "ny", "nz")):
+        normals = np.stack(
+            [np.asarray(vcols[a], np.float32) for a in ("nx", "ny", "nz")], -1
+        )
+    uvs = None
+    for ua, va in (("s", "t"), ("u", "v"), ("texture_u", "texture_v")):
+        if ua in vcols and va in vcols:
+            uvs = np.stack(
+                [np.asarray(vcols[ua], np.float32), np.asarray(vcols[va], np.float32)],
+                -1,
+            )
+            break
+    tris: list[list[int]] = []
+    for poly in data.get("face", {"lists": []})["lists"]:
+        poly = [int(i) for i in poly]
+        for k in range(1, len(poly) - 1):
+            tris.append([poly[0], poly[k], poly[k + 1]])
+    faces = (
+        np.asarray(tris, np.int32) if tris else np.zeros((0, 3), np.int32)
+    )
+    return {
+        "vertices": vertices,
+        "faces": faces,
+        "uvs": uvs,
+        "face_uvs": None,
+        "normals": normals,
+    }
+
+
+def load_mesh(path: str | os.PathLike) -> dict:
+    """Format-dispatching mesh loader (.obj / .ply)."""
+    suffix = Path(path).suffix.lower()
+    if suffix == ".ply":
+        return load_ply(path)
+    return load_obj(path)
+
+
 def load_obj_sequence(directory: str | os.PathLike) -> np.ndarray:
     """Load a sorted directory of OBJ frames into a (F, V, 3) vertex stack.
 

@@ -159,9 +159,11 @@ def load_mitsuba_xml(path: str | Path) -> tuple[dict, dict]:
             name = shape_name(node, f"mesh_{mesh_i}")
             mesh_i += 1
             if stype in ("obj", "ply", "serialized"):
-                if stype != "obj":
-                    raise NotImplementedError(f"shape type {stype}: convert to OBJ")
-                data = ffio.load_obj(base / props["filename"])
+                if stype == "serialized":
+                    raise NotImplementedError(
+                        "shape type serialized: convert to OBJ/PLY"
+                    )
+                data = ffio.load_mesh(base / props["filename"])
                 verts, faces = data["vertices"], data["faces"]
             elif stype in _PRIMITIVE_SHAPES:
                 verts, faces = _PRIMITIVE_SHAPES[stype]()

@@ -134,3 +134,95 @@ def test_debug_nans_context():
             jnp.log(jnp.asarray(-1.0)) * 1.0  # NaN under debug_nans
     # Restored afterwards.
     _ = jnp.log(jnp.asarray(-1.0))
+
+
+# ---------------------------------------------------------------------------
+# PLY loading (Mitsuba scenes commonly ship .ply shapes)
+# ---------------------------------------------------------------------------
+
+
+def _write_ascii_ply(path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\ncomment test quad\n")
+        f.write("element vertex 4\n")
+        for p in ("x", "y", "z"):
+            f.write(f"property float {p}\n")
+        for p in ("s", "t"):
+            f.write(f"property float {p}\n")
+        f.write("element face 1\nproperty list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for v, uv in zip(verts, uvs):
+            f.write(" ".join(map(str, list(v) + list(uv))) + "\n")
+        f.write("4 0 1 2 3\n")
+    return verts, uvs
+
+
+def test_load_ply_ascii_quad_triangulated(tmp_path):
+    from fireflies_tpu.utils.io import load_ply
+
+    p = tmp_path / "quad.ply"
+    verts, uvs = _write_ascii_ply(p)
+    m = load_ply(p)
+    np.testing.assert_allclose(m["vertices"], verts)
+    np.testing.assert_allclose(m["uvs"], uvs)
+    assert m["faces"].tolist() == [[0, 1, 2], [0, 2, 3]]  # fan-triangulated
+
+
+def test_load_ply_binary_both_endians(tmp_path):
+    import struct
+
+    from fireflies_tpu.utils.io import load_mesh
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    le = tmp_path / "le.ply"
+    with open(le, "wb") as f:
+        hdr = (
+            "ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+            + "".join(f"property float {p}\n" for p in ("x", "y", "z", "nx", "ny", "nz"))
+            + "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+        )
+        f.write(hdr.encode())
+        for v in verts:
+            f.write(struct.pack("<6f", *v, 0.0, 0.0, 1.0))
+        f.write(struct.pack("<B4i", 4, 0, 1, 2, 3))
+    m = load_mesh(le)  # dispatches on suffix
+    np.testing.assert_allclose(m["vertices"], verts)
+    np.testing.assert_allclose(m["normals"], [[0, 0, 1]] * 4)
+    assert m["faces"].tolist() == [[0, 1, 2], [0, 2, 3]]
+
+    be = tmp_path / "be.ply"
+    with open(be, "wb") as f:
+        hdr = (
+            "ply\nformat binary_big_endian 1.0\nelement vertex 3\n"
+            + "".join(f"property float {p}\n" for p in ("x", "y", "z"))
+            + "element face 1\nproperty list uchar int vertex_indices\nend_header\n"
+        )
+        f.write(hdr.encode())
+        for v in verts[:3]:
+            f.write(struct.pack(">3f", *v))
+        f.write(struct.pack(">B3i", 3, 0, 1, 2))
+    m = load_mesh(be)
+    np.testing.assert_allclose(m["vertices"], verts[:3])
+    assert m["faces"].tolist() == [[0, 1, 2]]
+
+
+def test_mitsuba_xml_ply_shape(tmp_path):
+    from fireflies_tpu.utils.mitsuba_xml import load_mitsuba_xml
+
+    _write_ascii_ply(tmp_path / "quad.ply")
+    (tmp_path / "scene.xml").write_text(
+        """<scene version="3.0.0">
+        <sensor type="perspective">
+          <float name="fov" value="45"/>
+          <transform name="to_world"><lookat origin="0,0,3" target="0,0,0" up="0,1,0"/></transform>
+        </sensor>
+        <shape type="ply" id="mesh-Quad">
+          <string name="filename" value="quad.ply"/>
+        </shape>
+        </scene>"""
+    )
+    params, meta = load_mitsuba_xml(tmp_path / "scene.xml")
+    assert params["mesh-Quad.vertex_positions"].shape == (4, 3)
+    assert params["mesh-Quad.faces"].shape == (2, 3)
