@@ -323,10 +323,13 @@ def _film_render_reparam(
     u = pixel_to_ndc(
         px.reshape(-1) + jit_xy[:, 0], py.reshape(-1) + jit_xy[:, 1], w, h
     )
+    positions = lights_mod.emitter_positions(scene.lights, scene.projector)
+    light_positions = jnp.stack(positions) if positions else None
     u_rep, area = reparam_ndc(
         scene.camera, u, scene.geometry, k_warp,
         k_aux=config.reparam_k_aux, radius=config.reparam_radius,
         tri_chunk=config.tri_chunk, backend=config.backend,
+        light_positions=light_positions,
     )
     o, d = rays_from_ndc(scene.camera, u_rep)
 
