@@ -1,6 +1,6 @@
 """Benchmark: 512x512 differentiable renders/sec/chip on the vocalfold scene.
 
-Prints ONE JSON line:
+Default mode prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 "Differentiable render" = forward render + reverse-mode gradient of an image
@@ -9,15 +9,19 @@ i.e. the unit of work the BASELINE north star counts.  Baseline target is
 >= 100 such renders/sec on a v5e-8, i.e. 12.5 per chip; vs_baseline is
 value / 12.5.
 
-Env overrides: BENCH_SIZE (default 512), BENCH_SPP, BENCH_BOUNCES,
-BENCH_REPEATS, BENCH_RESOLUTION (mesh res).
+BENCH_VARIANTS=1 runs the full recorded matrix (reference-realistic loads:
+spp 4/16, ~12k and ~50k-face meshes, and the 144-beam pattern-optimization
+iters/sec metric BASELINE names), prints one JSON line per variant, and
+writes BENCH_VARIANTS.json.
+
+Env overrides (single-run mode): BENCH_SIZE (default 512), BENCH_SPP,
+BENCH_BOUNCES, BENCH_REPEATS, BENCH_RESOLUTION (mesh res), BENCH_BATCH.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import jax
@@ -27,31 +31,44 @@ from fireflies_tpu.assets import scenes as ff_scenes
 from fireflies_tpu.projection import laser as laser_mod
 from fireflies_tpu.render import RenderConfig, SceneBridge, render_rgb
 
+BASELINE_PER_CHIP = 12.5  # >=100 diff-renders/sec on a v5e-8 (BASELINE.md)
 
-def main() -> None:
-    size = int(os.environ.get("BENCH_SIZE", 512))
-    spp = int(os.environ.get("BENCH_SPP", 1))
-    bounces = int(os.environ.get("BENCH_BOUNCES", 2))
-    repeats = int(os.environ.get("BENCH_REPEATS", 20))
-    resolution = int(os.environ.get("BENCH_RESOLUTION", 24))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
 
+def measure(
+    size: int = 512,
+    spp: int = 1,
+    bounces: int = 2,
+    repeats: int = 20,
+    resolution: int = 24,
+    batch: int = 16,
+    tri_chunk: int = 512,
+    ray_chunk: int = 0,
+) -> dict:
+    """One pattern-optimization throughput measurement.
+
+    The unit of work is the north-star inner loop: differentiate the
+    rendered structured-light images w.r.t. the laser beam directions
+    THROUGH texture generation, averaged over a vmapped batch of randomized
+    variants (gradient accumulation, the framework's production mode).
+    Chained data dependencies between steps prevent elision/overlap; one
+    block_until_ready at the end measures true sustained throughput (single
+    dispatches through the axon tunnel carry tens of ms of overhead and are
+    NOT trustworthy).
+    """
     scene, kw = ff_scenes.vocalfold(resolution=resolution, n_anim_frames=4)
     bridge = SceneBridge(scene, **kw)
     randomize = scene.compile()
     cfg = RenderConfig(
-        width=size, height=size, spp=spp, max_bounces=bounces, tri_chunk=512,
-        ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)) or 0,
+        width=size, height=size, spp=spp, max_bounces=bounces,
+        tri_chunk=tri_chunk, ray_chunk=ray_chunk,
     )
+    n_faces = int(bridge.assemble(
+        dict(randomize(jax.random.key(0), 0))
+    ).geometry.faces.shape[0])
 
-    rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)  # ~150-beam pattern
+    rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)  # 144-beam pattern
 
     def loss(rays, key):
-        # The north-star pattern-optimization step: differentiate the
-        # rendered structured-light images w.r.t. the laser beam directions
-        # THROUGH texture generation, averaged over a vmapped batch of
-        # randomized variants (gradient accumulation, the framework's
-        # production mode).
         tex = laser_mod.rays_to_texture_rgb(
             rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
         )
@@ -66,33 +83,74 @@ def main() -> None:
     step = jax.jit(jax.value_and_grad(loss))
 
     key = jax.random.key(0)
-    # Warmup / compile.
-    val, grad = step(rays0, key)
+    val, grad = step(rays0, key)  # warmup / compile
     jax.block_until_ready((val, grad))
 
-    # Chained data dependency: each step consumes the previous gradient, so
-    # steps cannot be elided or dishonestly overlapped; a single
-    # block_until_ready at the end measures true sustained throughput.
     t0 = time.perf_counter()
     rays = rays0
     for i in range(repeats):
         val, grad = step(rays, jax.random.fold_in(key, i))
-        rays = rays + 0.0 * grad
+        # Chain with a value-preserving but NON-foldable dependency: a
+        # literal 0.0 multiplier lets XLA constant-fold the gradient out of
+        # the chain entirely (measured: physically impossible throughputs).
+        rays = rays + 1e-20 * grad
     jax.block_until_ready(rays)
     dt = time.perf_counter() - t0
 
     renders_per_sec = repeats * batch / dt
-    baseline_per_chip = 12.5  # >=100 on v5e-8 (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": f"{size}x{size} diff-renders/sec/chip (vocalfold, spp={spp}, bounces={bounces})",
-                "value": round(renders_per_sec, 3),
-                "unit": "renders/sec/chip",
-                "vs_baseline": round(renders_per_sec / baseline_per_chip, 3),
-            }
-        )
+    return {
+        "metric": (
+            f"{size}x{size} diff-renders/sec/chip "
+            f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces})"
+        ),
+        "value": round(renders_per_sec, 3),
+        "unit": "renders/sec/chip",
+        "vs_baseline": round(renders_per_sec / BASELINE_PER_CHIP, 3),
+        "detail": {
+            "faces": n_faces, "spp": spp, "bounces": bounces, "batch": batch,
+            "repeats": repeats, "size": size,
+            "optim_iters_per_sec": round(repeats / dt, 3),
+        },
+    }
+
+
+# Recorded matrix: reference-realistic loads (VERDICT r1 item 4).  The
+# reference's workload shapes: main.py renders 512x512 with spp 4..16 on
+# the ~10-40k-face vocalfold OBJ sequence; BASELINE names the 150-point
+# pattern-optimization iters/sec.
+VARIANTS = [
+    dict(),                                         # headline: spp1, 1.4k faces
+    dict(spp=4, repeats=10),
+    dict(spp=16, repeats=5, batch=8),
+    dict(resolution=75, repeats=10),                # ~11.6k faces
+    dict(resolution=75, spp=4, repeats=5, batch=8), # ~11.6k faces, spp 4
+    dict(resolution=160, repeats=5, batch=8),       # ~51k faces
+]
+
+
+def main() -> None:
+    if os.environ.get("BENCH_VARIANTS"):
+        results = []
+        for v in VARIANTS:
+            r = measure(**v)
+            print(json.dumps(r), flush=True)
+            results.append(r)
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_VARIANTS.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        return
+
+    r = measure(
+        size=int(os.environ.get("BENCH_SIZE", 512)),
+        spp=int(os.environ.get("BENCH_SPP", 1)),
+        bounces=int(os.environ.get("BENCH_BOUNCES", 2)),
+        repeats=int(os.environ.get("BENCH_REPEATS", 20)),
+        resolution=int(os.environ.get("BENCH_RESOLUTION", 24)),
+        batch=int(os.environ.get("BENCH_BATCH", 16)),
+        ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)) or 0,
     )
+    r.pop("detail", None)  # driver contract: one compact JSON line
+    print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ PRINCIPLED_DEFAULTS: dict[str, object] = {
     "spec_trans": 0.0,
     "flatness": 0.0,
     "ior": 1.5,
+    "thin": 0.0,
     "emission": (0.0, 0.0, 0.0),
 }
 

@@ -84,13 +84,16 @@ def generate_blue_noise_rays(
     num_beams: int,
     fov_deg: float,
     seed: int | None = None,
+    radius_type: str = "default",
 ) -> Array:
     """Poisson-disk pattern (laser.py:94-145): radius sqrt(XY / (pi N)) * 1.25
-    on an (X, Y) grid, host-side Bridson, mapped into NDC then rays."""
+    on an (X, Y) grid, host-side Bridson, mapped into NDC then rays.
+    `radius_type` passes through to `sampling.bridson` ("default" annulus or
+    the reference's "normDist" variant, poisson.py:64-68)."""
     radius = math.sqrt((image_size_x * image_size_y) / (math.pi * num_beams))
     radius += radius / 4.0
     radius_map = np.full((image_size_y, image_size_x), radius, np.float32)
-    _, samples = sampling.bridson(radius_map, seed=seed)
+    _, samples = sampling.bridson(radius_map, seed=seed, radius_type=radius_type)
     # (y, x) pixels -> NDC in [-1, 1].
     ndc = jnp.stack(
         [

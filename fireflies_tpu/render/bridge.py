@@ -42,7 +42,7 @@ _KIND_CODES = {"point": LIGHT_POINT, "spot": LIGHT_SPOT, "projector": LIGHT_SPOT
 
 _MATERIAL_FIELDS = (
     "base_color roughness metallic specular spec_tint clearcoat clearcoat_gloss "
-    "sheen sheen_tint anisotropic spec_trans flatness ior emission"
+    "sheen sheen_tint anisotropic spec_trans flatness ior thin emission"
 ).split()
 
 

@@ -9,8 +9,13 @@ spec_trans, flatness.  Implemented lobes:
   * sheen
   * GGX specular with Schlick Fresnel (metallic/specular/spec_tint F0 mix)
   * GTR1 clearcoat
-  * Disney-thin diffuse transmission (spec_trans) with transmission-side
-    sampling
+  * rough-dielectric glass (spec_trans, thin = 0, Mitsuba `principled`
+    parity): Walter-style microfacet refraction + dielectric-Fresnel
+    reflection with `ior`, TIR, and entering/exiting sidedness via
+    params["eta_rel"]; satisfies Walter radiance reciprocity
+    f(i->o)/eta_o^2 symmetric (validated numerically)
+  * Disney-thin diffuse transmission (spec_trans, thin = 1) with
+    transmission-side sampling
   * anisotropic GGX (Disney aspect split, Heitz Smith-G1) oriented by the
     UV-derived tangent frame when the mesh has UVs (arbitrary ONB otherwise)
 
@@ -39,10 +44,38 @@ def gather_params(materials: Materials, mat_id: Array) -> dict[str, Array]:
     for field in (
         "base_color roughness metallic specular spec_tint clearcoat "
         "clearcoat_gloss sheen sheen_tint anisotropic spec_trans flatness "
-        "ior emission"
+        "ior thin emission"
     ).split():
         out[field] = getattr(materials, field)[mat_id]
     return out
+
+
+def _eta_rel(params: dict[str, Array]) -> Array:
+    """Relative IOR n_transmitted / n_incident for the glass lobe.
+
+    Callers that track medium sidedness (the path tracer) inject
+    params["eta_rel"] = ior on front-face (entering) hits and 1/ior on
+    back-face (exiting) hits; standalone evaluation defaults to entering.
+    Clamped away from 1 — at eta == 1 the refraction half-vector
+    degenerates (wo + eta*wi -> 0 at straight-through)."""
+    eta = params.get("eta_rel", params["ior"])
+    return jnp.where(
+        jnp.abs(eta - 1.0) < 1e-3, jnp.where(eta >= 1.0, 1.0 + 1e-3, 1.0 - 1e-3), eta
+    )
+
+
+def _fresnel_dielectric(cos_i: Array, eta: Array) -> Array:
+    """Exact unpolarized dielectric Fresnel reflectance.  cos_i >= 0 on the
+    incident side; eta = n_t / n_i.  Returns 1 under total internal
+    reflection."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = (1.0 - cos_i * cos_i) / jnp.maximum(eta * eta, _EPS)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    r_par = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, _EPS)
+    r_perp = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, _EPS)
+    f = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
 
 
 def _schlick(u: Array) -> Array:
@@ -176,11 +209,66 @@ def evaluate(
         :, None
     ]
 
-    f = f_diffuse + f_sheen + f_specular + f_clearcoat
+    # ---- Glass lobe (rough-dielectric, Walter/PBRT microfacet model) ------
+    # Mitsuba `principled` parity: spec_trans on a non-thin surface is
+    # microfacet refraction with `ior` (reference main.py:99-107 randomizes
+    # spec_trans on the principled BSDF).  The glass lobe carries BOTH its
+    # dielectric-Fresnel reflection (replacing the plain specular for its
+    # share) and the (1-F) refraction; `thin` = 1 falls back to the
+    # Disney-thin diffuse transmission below.
+    eta = _eta_rel(params)
+    thin = jnp.clip(params["thin"], 0.0, 1.0)
+    glass_w = params["spec_trans"] * (1.0 - metallic) * (1.0 - thin)
+    alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+
+    # Reflection half of the glass lobe (shares h with the specular lobe).
+    f_dielec = _fresnel_dielectric(cos_d, eta)
+    d_g = _d_ggx(cos_h, alpha_g)
+    g_g = _g_smith_ggx(cos_i, alpha_g) * _g_smith_ggx(cos_o, alpha_g)
+    f_glass_refl = (f_dielec * d_g * g_g / (4.0 * cos_i * cos_o))[:, None]
+
+    # Refraction half: wh_t = normalize(wo + eta * wi) flipped to the upper
+    # hemisphere; radiance-transport factors cancel (eta^2 * (1/eta)^2).
+    wh_t = wo + eta[:, None] * wi
+    wh_t = wh_t / (jnp.linalg.norm(wh_t, axis=-1, keepdims=True) + 1e-20)
+    wh_t = wh_t * jnp.sign(jnp.sum(wh_t * n, axis=-1, keepdims=True) + 1e-20)
+    cos_wh = jnp.clip(jnp.sum(n * wh_t, axis=-1), 0.0, 1.0)
+    wo_wh = jnp.sum(wo * wh_t, axis=-1)
+    wi_wh = jnp.sum(wi * wh_t, axis=-1)
+    sqrt_denom = wo_wh + eta * wi_wh
+    f_t_dielec = _fresnel_dielectric(jnp.abs(wo_wh), eta)
+    d_t = _d_ggx(cos_wh, alpha_g)
+    g_t = _g_smith_ggx(cos_i, alpha_g) * _g_smith_ggx(cos_o, alpha_g)
+    t_tint = jnp.sqrt(jnp.maximum(base, 0.0))
+    # Physical refraction pairs straddle the half-vector (wo.h > 0,
+    # wi.h < 0); the reconstruction is spurious otherwise.
+    refr_ok = (wo_wh > _EPS) & (wi_wh < -_EPS)
+    f_glass_trans = (
+        t_tint
+        * jnp.where(
+            refr_ok,
+            (1.0 - f_t_dielec)
+            * d_t
+            * g_t
+            * jnp.abs(wi_wh)
+            * jnp.abs(wo_wh)
+            / jnp.maximum(cos_i * cos_o * sqrt_denom * sqrt_denom, _EPS),
+            0.0,
+        )[:, None]
+    )
+
+    f = (
+        f_diffuse
+        + f_sheen
+        + f_specular * (1.0 - glass_w)[:, None]
+        + f_clearcoat
+        + f_glass_refl * glass_w[:, None]
+    )
 
     # ---- Thin diffuse transmission ----------------------------------------
     trans_weight = params["spec_trans"] * (1.0 - metallic)
-    f_trans = jnp.sqrt(jnp.maximum(base, 0.0)) / jnp.pi * trans_weight[:, None]
+    f_thin = jnp.sqrt(jnp.maximum(base, 0.0)) / jnp.pi * (trans_weight * thin)[:, None]
+    f_trans = f_thin + f_glass_trans * glass_w[:, None]
 
     return jnp.where(
         reflect_side[:, None], f, jnp.where(trans_side[:, None], f_trans, 0.0)
@@ -243,15 +331,19 @@ def sample(
     """Importance-sample wi; returns (wi, pdf, f).
 
     One stochastic lobe choice per point: cosine-hemisphere for diffuse,
-    GGX-NDF for specular, cosine *lower* hemisphere for thin transmission;
+    GGX-NDF for specular, and for the transmission lobe either the thin
+    cosine *lower* hemisphere (thin = 1) or rough-dielectric glass
+    (GGX half-vector, then Fresnel-weighted reflect/refract with TIR);
     pdf is the full mixture pdf so the estimator is unbiased regardless of
     the branch taken.
     """
     n_pts = n.shape[0]
-    k_sel, k_a, k_b = jax.random.split(key, 3)
+    k_sel, k_a, k_b, k_c, k_d = jax.random.split(key, 5)
     u_sel = jax.random.uniform(k_sel, (n_pts,))
     u1 = jax.random.uniform(k_a, (n_pts,))
     u2 = jax.random.uniform(k_b, (n_pts,))
+    u3 = jax.random.uniform(k_c, (n_pts,))
+    u4 = jax.random.uniform(k_d, (n_pts,))
 
     t, bt = _frame(n, tangent)
 
@@ -280,12 +372,39 @@ def sample(
     h = _to_world(n, t, bt, local_h)
     wi_spec = 2.0 * jnp.sum(wo * h, axis=-1, keepdims=True) * h - wo
 
+    # Glass lobe: isotropic GGX half-vector, Fresnel-weighted branch.
+    eta = _eta_rel(params)
+    alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+    cos_hg = jnp.sqrt(
+        jnp.clip((1.0 - u1) / (1.0 + (alpha_g * alpha_g - 1.0) * u1), 0.0, 1.0)
+    )
+    sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+    local_hg = jnp.stack(
+        [sin_hg * jnp.cos(phi), sin_hg * jnp.sin(phi), cos_hg], axis=-1
+    )
+    hg = _to_world(n, t, bt, local_hg)
+    wo_hg = jnp.sum(wo * hg, axis=-1)
+    # Work with the half-vector on wo's side (grazing samples can flip it).
+    hh = hg * jnp.sign(wo_hg + _EPS)[:, None]
+    c = jnp.abs(wo_hg)
+    f_g = _fresnel_dielectric(c, eta)
+    wi_grefl = 2.0 * c[:, None] * hh - wo
+    # Snell refraction about hh; TIR handled by f_g == 1 (reflect branch).
+    sin2_t = jnp.maximum(1.0 - c * c, 0.0) / jnp.maximum(eta * eta, _EPS)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wi_grefr = -wo / eta[:, None] + ((c / eta) - cos_t)[:, None] * hh
+    wi_grefr = wi_grefr / (jnp.linalg.norm(wi_grefr, axis=-1, keepdims=True) + 1e-20)
+    take_refl = (u3 < f_g) | (sin2_t >= 1.0)
+    wi_glass = jnp.where(take_refl[:, None], wi_grefl, wi_grefr)
+    # Thin vs glass within the transmission lobe.
+    thin = jnp.clip(params["thin"], 0.0, 1.0)
+    wi_trans = jnp.where((u4 < thin)[:, None], -wi_diff, wi_glass)
+
     p_d, p_s, p_t = _lobe_probs(params)
     take_trans = u_sel >= (p_d + p_s)
     take_diff = u_sel < p_d
     wi = jnp.where(take_diff[:, None], wi_diff, wi_spec)
-    # Transmission: mirror the cosine sample into the lower hemisphere.
-    wi = jnp.where(take_trans[:, None], -wi_diff, wi)
+    wi = jnp.where(take_trans[:, None], wi_trans, wi)
 
     pdf = pdf_fn(params, n, wo, wi, tangent=tangent)
     f = evaluate(params, n, wo, wi, tangent=tangent)
@@ -309,9 +428,48 @@ def pdf_fn(
     hy = jnp.sum(h * bt, axis=-1)
     pdf_diff = jnp.maximum(cos_i, 0.0) / jnp.pi
     pdf_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay) * cos_h / (4.0 * cos_d)
-    pdf_trans = jnp.maximum(-cos_i, 0.0) / jnp.pi
+    pdf_thin = jnp.maximum(-cos_i, 0.0) / jnp.pi
+
+    # Glass-lobe pdfs (isotropic GGX over the NDF, then the Fresnel branch).
+    eta = _eta_rel(params)
+    thin = jnp.clip(params["thin"], 0.0, 1.0)
+    alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+    # Reflection branch shares the reflection half-vector h.
+    f_h = _fresnel_dielectric(cos_d, eta)
+    pdf_grefl = _d_ggx(cos_h, alpha_g) * cos_h / (4.0 * cos_d) * f_h
+    # Refraction branch: wh_t = normalize(wo + eta wi), Jacobian
+    # dwh/dwi = eta^2 |wi.wh| / (wo.wh + eta wi.wh)^2.
+    wh_t = wo + eta[:, None] * wi
+    wh_t = wh_t / (jnp.linalg.norm(wh_t, axis=-1, keepdims=True) + 1e-20)
+    wh_t = wh_t * jnp.sign(jnp.sum(wh_t * n, axis=-1, keepdims=True) + 1e-20)
+    cos_wh = jnp.clip(jnp.sum(n * wh_t, axis=-1), 0.0, 1.0)
+    wo_wh = jnp.sum(wo * wh_t, axis=-1)
+    wi_wh = jnp.sum(wi * wh_t, axis=-1)
+    sqrt_denom = wo_wh + eta * wi_wh
+    jac = eta * eta * jnp.abs(wi_wh) / jnp.maximum(sqrt_denom * sqrt_denom, _EPS)
+    f_wh = _fresnel_dielectric(jnp.abs(wo_wh), eta)
+    # A refraction output must straddle its half-vector (wo.h > 0, wi.h < 0);
+    # the algebraic reconstruction also "succeeds" for directions refraction
+    # cannot produce, and counting that phantom density made the mixture pdf
+    # integrate to ~1.4.
+    refr_ok = (wo_wh > _EPS) & (wi_wh < -_EPS)
+    pdf_grefr = jnp.where(
+        refr_ok, _d_ggx(cos_wh, alpha_g) * cos_wh * jac * (1.0 - f_wh), 0.0
+    )
 
     p_d, p_s, p_t = _lobe_probs(params)
-    pdf_up = p_d * pdf_diff + p_s * pdf_spec
-    pdf_down = p_t * pdf_trans
+    # Half-vector lobes (specular reflection, glass reflection/refraction)
+    # can land on EITHER hemisphere — a high-roughness reflection about a
+    # tilted h goes below the horizon, a refraction about a tilted h can
+    # come back above it.  Their densities are valid wherever the sample
+    # lands (the h <-> wi maps are bijective given wo), so they must NOT be
+    # gated by hemisphere: gating made the sampled density exceed the
+    # claimed pdf below the horizon (measured 2-12x at roughness 0.7),
+    # inflating every importance-sampled transmission estimate.
+    pdf_hv = (
+        p_s * pdf_spec
+        + p_t * (1.0 - thin) * (pdf_grefl + pdf_grefr)
+    )
+    pdf_up = p_d * pdf_diff + pdf_hv
+    pdf_down = p_t * thin * pdf_thin + pdf_hv
     return jnp.where(cos_i > _EPS, pdf_up, jnp.where(cos_i < -_EPS, pdf_down, 0.0))

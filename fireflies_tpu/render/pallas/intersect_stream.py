@@ -57,9 +57,17 @@ def pack_woop_streamed(vertices: Array, faces: Array, origin: Array | None):
 
 
 def _kernel_stream(
-    rays_ref, tmax_ref, box_ref, woop_hbm, out_t_ref, out_prim_ref,
-    scratch, sems, *, t_min, n_chunks, any_hit, shared,
+    bidx_ref, rays_ref, tmax_ref, box_ref, woop_hbm, out_t_ref, out_prim_ref,
+    scratch, sems, *, t_min, n_chunks, any_hit, shared, woop_batched=False,
+    boxes_batched=False,
 ):
+    # Batch index for vmapped variants (Mosaic requires SMEM/ANY operands
+    # whole, so batched geometry is indexed in-kernel rather than blocked).
+    b = bidx_ref[pl.program_id(0)]
+
+    def bx(r, c):
+        return box_ref[b, r, c] if boxes_batched else box_ref[r, c]
+
     if shared:
         dx, dy, dz = rays_ref[0], rays_ref[1], rays_ref[2]  # (16, 128)
     else:
@@ -77,11 +85,13 @@ def _kernel_stream(
     inv_dz = safe_inv(dz)
 
     def dma(slot, c):
-        return pltpu.make_async_copy(
-            woop_hbm.at[:, pl.ds(c * STREAM_CHUNK, STREAM_CHUNK)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+        # Batched geometry (vmapped variants) stays whole in HBM (ANY-space
+        # blocks must cover the full array); slice the variant here instead.
+        if woop_batched:
+            src = woop_hbm.at[b, :, pl.ds(c * STREAM_CHUNK, STREAM_CHUNK)]
+        else:
+            src = woop_hbm.at[:, pl.ds(c * STREAM_CHUNK, STREAM_CHUNK)]
+        return pltpu.make_async_copy(src, scratch.at[slot], sems.at[slot])
 
     dma(0, 0).start()
 
@@ -99,19 +109,19 @@ def _kernel_stream(
         dma(slot, c).wait()
 
         if shared:
-            t0x = box_ref[0, c] * inv_dx
-            t1x = box_ref[3, c] * inv_dx
-            t0y = box_ref[1, c] * inv_dy
-            t1y = box_ref[4, c] * inv_dy
-            t0z = box_ref[2, c] * inv_dz
-            t1z = box_ref[5, c] * inv_dz
+            t0x = bx(0, c) * inv_dx
+            t1x = bx(3, c) * inv_dx
+            t0y = bx(1, c) * inv_dy
+            t1y = bx(4, c) * inv_dy
+            t0z = bx(2, c) * inv_dz
+            t1z = bx(5, c) * inv_dz
         else:
-            t0x = (box_ref[0, c] - ox) * inv_dx
-            t1x = (box_ref[3, c] - ox) * inv_dx
-            t0y = (box_ref[1, c] - oy) * inv_dy
-            t1y = (box_ref[4, c] - oy) * inv_dy
-            t0z = (box_ref[2, c] - oz) * inv_dz
-            t1z = (box_ref[5, c] - oz) * inv_dz
+            t0x = (bx(0, c) - ox) * inv_dx
+            t1x = (bx(3, c) - ox) * inv_dx
+            t0y = (bx(1, c) - oy) * inv_dy
+            t1y = (bx(4, c) - oy) * inv_dy
+            t0z = (bx(2, c) - oz) * inv_dz
+            t1z = (bx(5, c) - oz) * inv_dz
         tnear = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), t_min),
@@ -195,42 +205,109 @@ def _kernel_stream(
     out_prim_ref[...] = best_p
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret", "shared"))
-def _intersect_stream_packed(
-    dirs_soa: Array, tmax_tiles: Array, woop16: Array, boxes: Array,
-    t_min: float, any_hit: bool, interpret: bool, shared: bool = True,
+def _stream_pallas_call(
+    dirs_soa, tmax_tiles, woop16, boxes, *,
+    t_min, any_hit, interpret, shared, in_batched, axis_size,
 ):
-    n_rows = dirs_soa.shape[1]
+    """Single pallas_call over grid (B, n_tiles).  Each of the four inputs
+    either carries a leading batch dim (per in_batched) or is shared across
+    the batch.  Outputs always carry the batch dim."""
+    b_dirs, b_tmax, b_woop, b_boxes = in_batched
+    n_comp = dirs_soa.shape[1] if b_dirs else dirs_soa.shape[0]
+    n_rows = dirs_soa.shape[-2]
     n_tiles = n_rows // SUBLANES
-    n_chunks = boxes.shape[1]
-    n_comp = dirs_soa.shape[0]
+    n_chunks = boxes.shape[-1]
     kernel = functools.partial(
-        _kernel_stream, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit, shared=shared
+        _kernel_stream, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit,
+        shared=shared, woop_batched=b_woop, boxes_batched=b_boxes,
     )
+    if b_dirs:
+        dirs_spec = pl.BlockSpec(
+            (None, n_comp, SUBLANES, LANES), lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        dirs_spec = pl.BlockSpec(
+            (n_comp, SUBLANES, LANES), lambda b, i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    if b_tmax:
+        tmax_spec = pl.BlockSpec(
+            (None, SUBLANES, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        tmax_spec = pl.BlockSpec(
+            (SUBLANES, LANES), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+        )
+    # Mosaic requires SMEM operands whole (no grid blocking): pass boxes
+    # whole and index the batch dim in-kernel.
+    boxes_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bidx = jnp.arange(axis_size, dtype=jnp.int32)  # (B,)
+    bidx_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_t, out_prim = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(axis_size, n_tiles),
         in_specs=[
-            pl.BlockSpec((n_comp, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(boxes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            bidx_spec,
+            dirs_spec,
+            tmax_spec,
+            boxes_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # woop stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 16, STREAM_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(dirs_soa, tmax_tiles, boxes, woop16)
+    )(bidx, dirs_soa, tmax_tiles, boxes, woop16)
     return out_t, out_prim
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_fn(t_min: float, any_hit: bool, interpret: bool, shared: bool):
+    """custom_vmap wrapper: vmapping the streamed kernel folds the batch into
+    the pallas grid (the default batching rule would demand a Squeezed()
+    block on the ANY-space HBM operand, which Mosaic rejects)."""
+
+    @jax.custom_batching.custom_vmap
+    def f(dirs_soa, tmax_tiles, woop16, boxes):
+        out_t, out_prim = _stream_pallas_call(
+            dirs_soa, tmax_tiles, woop16, boxes,
+            t_min=t_min, any_hit=any_hit, interpret=interpret, shared=shared,
+            in_batched=(False, False, False, False), axis_size=1,
+        )
+        return out_t[0], out_prim[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, dirs_soa, tmax_tiles, woop16, boxes):
+        out_t, out_prim = _stream_pallas_call(
+            dirs_soa, tmax_tiles, woop16, boxes,
+            t_min=t_min, any_hit=any_hit, interpret=interpret, shared=shared,
+            in_batched=tuple(in_batched), axis_size=axis_size,
+        )
+        return (out_t, out_prim), (True, True)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret", "shared"))
+def _intersect_stream_packed(
+    dirs_soa: Array, tmax_tiles: Array, woop16: Array, boxes: Array,
+    t_min: float, any_hit: bool, interpret: bool, shared: bool = True,
+):
+    return _stream_fn(t_min, any_hit, interpret, shared)(
+        dirs_soa, tmax_tiles, woop16, boxes
+    )
 
 
 def intersect_pallas_streamed(

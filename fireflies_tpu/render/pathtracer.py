@@ -142,6 +142,13 @@ def trace_rays(
         wo = -d
 
         params = bsdf_mod.gather_params(scene.materials, attrs["mat_id"])
+        # Medium sidedness for the rough-dielectric glass lobe: entering on
+        # front-face hits (relative IOR = ior), exiting on back-face hits
+        # (1 / ior).  The BSDF works in the flipped-normal frame and cannot
+        # tell the two apart on its own.
+        params["eta_rel"] = jnp.where(
+            flip > 0, params["ior"], 1.0 / jnp.maximum(params["ior"], 1e-3)
+        )
         params = _shading_base_color(scene, params, attrs)
         tangent = attrs.get("tangent")
         # Shading normal (normal-mapped where materials carry a map) drives

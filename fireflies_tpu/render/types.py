@@ -129,6 +129,11 @@ class Materials(struct.PyTreeNode):
     spec_trans: Array
     flatness: Array
     ior: Array
+    # thin = 1 switches spec_trans to the thin-sheet diffuse transmission
+    # lobe (Disney-thin / Mitsuba `principledthin`); thin = 0 (default,
+    # Mitsuba `principled` parity) does microfacet rough-dielectric
+    # refraction with `ior`.
+    thin: Array
     emission: Array  # (M, 3)
     textures: Optional[Array] = None  # (M, Ht, Wt, 3) base-color
     has_texture: Optional[Array] = None  # (M,) bool
@@ -164,6 +169,7 @@ class Materials(struct.PyTreeNode):
             spec_trans=ones * 0.0,
             flatness=ones * 0.0,
             ior=ones * 1.5,
+            thin=ones * 0.0,
             emission=jnp.zeros((count, 3), jnp.float32),
         )
 

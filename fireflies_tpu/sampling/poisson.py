@@ -27,6 +27,7 @@ def bridson(
     radius_map: np.ndarray,
     k: int = 30,
     seed: int | None = None,
+    radius_type: str = "default",
 ) -> tuple[int, np.ndarray]:
     """Poisson-disk sampling over a [0,H)x[0,W) domain with per-pixel radii.
 
@@ -36,20 +37,27 @@ def bridson(
         the reference's SMARTY density control.
       k: candidate attempts per active point (Bridson's k).
       seed: optional RNG seed.
+      radius_type: candidate-distance distribution around an active point
+        (reference poisson.py:64-68): "default" draws rho ~ U(r, 2r) (the
+        classic annulus); "normDist" draws rho ~ N(1.5 r, 0.2 r), giving a
+        tighter, more regular spacing distribution.
 
     Returns:
       (n, coords): number of samples and an (n, 2) float array of (y, x).
     """
-    try:
-        from fireflies_tpu.native import bridson as native_bridson  # noqa: PLC0415
+    if radius_type not in ("default", "normDist"):
+        raise ValueError(f"radius_type must be 'default' or 'normDist', got {radius_type!r}")
+    if radius_type == "default":
+        try:
+            from fireflies_tpu.native import bridson as native_bridson  # noqa: PLC0415
 
-        return native_bridson(np.asarray(radius_map, np.float32), k, seed or 0)
-    except Exception:
-        pass
-    return _bridson_numpy(radius_map, k, seed)
+            return native_bridson(np.asarray(radius_map, np.float32), k, seed or 0)
+        except Exception:
+            pass
+    return _bridson_numpy(radius_map, k, seed, radius_type)
 
 
-def _bridson_numpy(radius_map, k=30, seed=None):
+def _bridson_numpy(radius_map, k=30, seed=None, radius_type="default"):
     rng = np.random.default_rng(seed)
     radius_map = np.asarray(radius_map, np.float64)
     height, width = radius_map.shape
@@ -102,7 +110,10 @@ def _bridson_numpy(radius_map, k=30, seed=None):
 
         placed = False
         for _ in range(k):
-            rho = rng.uniform(radius, 2 * radius)
+            if radius_type == "normDist":
+                rho = radius * rng.normal(1.5, 0.2)
+            else:
+                rho = rng.uniform(radius, 2 * radius)
             theta = rng.uniform(0, 2 * np.pi)
             cand = base + rho * np.array([np.sin(theta), np.cos(theta)])
             if not (0 <= cand[0] < height and 0 <= cand[1] < width):

@@ -96,6 +96,7 @@ def test_sample_area_light_distribution():
 def test_thin_transmission_lobe():
     mats = Materials.default(1).replace(
         spec_trans=jnp.asarray([0.8]),
+        thin=jnp.asarray([1.0]),
         base_color=jnp.asarray([[0.64, 0.64, 0.64]]),
     )
     params = bsdf_mod.gather_params(mats, jnp.zeros(1, jnp.int32))
@@ -136,6 +137,7 @@ def test_transmission_energy_through_thin_sheet():
             specular=jnp.zeros((1,)),
             roughness=jnp.ones((1,)),
             spec_trans=jnp.asarray([spec_trans]),
+            thin=jnp.ones((1,)),
         )
         lw = np.eye(4, dtype=np.float32)
         lw[:3, 3] = [0, 0, -3.0]  # behind the sheet (camera side is +z)
