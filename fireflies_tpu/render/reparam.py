@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -54,26 +56,37 @@ from fireflies_tpu.render.types import Camera, Geometry, Hit, RenderConfig, Rend
 Array = jax.Array
 
 
-def _open_edges(geometry: Geometry) -> Array:
-    """(F, 3) bool: which of each face's edges are OPEN (used by exactly one
-    face).  Edge order matches barycentric distances [v, w, u]:
+def _edge_topology(geometry: Geometry) -> tuple[Array, Array]:
+    """Edge openness + adjacency.  Returns (open (F, 3) bool, nbr (F, 3)
+    int32).  Edge order matches barycentric distances [v, w, u]:
     edge p0-p1 <-> v = 0, edge p1-p2 <-> w = 0, edge p2-p0 <-> u = 0.
 
-    Open edges are unconditional warp boundaries; interior (shared) edges
-    only become silhouettes when viewed at grazing angles (handled by the
-    grazing term in _boundary_distance)."""
+    Open edges (used by exactly one face) are unconditional warp
+    boundaries; interior (shared) edges only become silhouettes when viewed
+    at grazing angles (handled by the grazing term in _screen_boundary).
+    `nbr` gives the face across each interior edge (-1 for open edges) —
+    needed to make the boundary-distance metric CONTINUOUS across interior
+    edges (see _screen_boundary)."""
     f = geometry.faces
+    n_faces = f.shape[0]
     pairs = jnp.concatenate(
         [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
     )  # (3F, 2)
     lo = jnp.minimum(pairs[:, 0], pairs[:, 1]).astype(jnp.int64)
     hi = jnp.maximum(pairs[:, 0], pairs[:, 1]).astype(jnp.int64)
     keys = lo * jnp.int64(geometry.vertices.shape[0] + 1) + hi
-    sorted_keys = jnp.sort(keys)
-    left = jnp.searchsorted(sorted_keys, keys, side="left")
-    right = jnp.searchsorted(sorted_keys, keys, side="right")
-    open_flat = (right - left) == 1
-    return open_flat.reshape(3, -1).T  # (F, 3)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    idx = jnp.arange(sk.shape[0])
+    same_next = jnp.concatenate([sk[1:] == sk[:-1], jnp.array([False])])
+    same_prev = jnp.concatenate([jnp.array([False]), sk[1:] == sk[:-1]])
+    partner_sorted = jnp.where(same_next, idx + 1, jnp.where(same_prev, idx - 1, idx))
+    partner = order[partner_sorted]  # original flat-edge index of the partner
+    inv = jnp.zeros_like(order).at[order].set(idx)
+    partner_of = partner[inv]  # for each original edge, its partner (or self)
+    open_flat = partner_of == jnp.arange(keys.shape[0])
+    nbr_flat = jnp.where(open_flat, -1, partner_of % n_faces).astype(jnp.int32)
+    return open_flat.reshape(3, -1).T, nbr_flat.reshape(3, -1).T
 
 
 def _plane_eval(o, d, prim_ids, geometry, geo_det, edge_open):
@@ -114,8 +127,15 @@ def _plane_eval(o, d, prim_ids, geometry, geo_det, edge_open):
         )
     )
     opens = edge_open[prim_ids]  # (N, 3) in [v, w, u] edge order
+    fidx_d = geo_det.faces[prim_ids]
+    x_det = (
+        bw[:, None] * geo_det.vertices[fidx_d[:, 0]]
+        + bu[:, None] * geo_det.vertices[fidx_d[:, 1]]
+        + bv[:, None] * geo_det.vertices[fidx_d[:, 2]]
+    )
     return {
         "x": x,
+        "x_det": x_det,  # live in the sample position, detached in theta
         "t": a["t"],
         "bary3": jnp.stack([bv, bw, bu], axis=-1),  # [v, w, u] edge order
         "opens": opens,
@@ -125,26 +145,70 @@ def _plane_eval(o, d, prim_ids, geometry, geo_det, edge_open):
     }
 
 
-def _screen_boundary(pe, corners):
+def _screen_boundary(
+    pe, project, point_ndc, win, geo_det, edge_open, nbrs, prim_ids
+):
     """Screen-space distance of a _plane_eval point to its triangle's
-    boundary: per-edge |barycentric| times that edge's projected HEIGHT
-    (2 area / edge length) — bary * sqrt(area) is only isotropic on
-    average, and the anisotropy error shows up as a non-cancelling
-    divergence residual.  Interior (shared) edges carry the grazing
-    penalty, scaled by sqrt(projected area)."""
-    a, b, c = corners  # (N, >=2) projected corners, [p0, p1, p2]
-    e01 = b[:, :2] - a[:, :2]
-    e12 = c[:, :2] - b[:, :2]
-    e20 = a[:, :2] - c[:, :2]
-    area2 = jnp.abs(e01[:, 0] * (-e20[:, 1]) - e01[:, 1] * (-e20[:, 0]))
-    lens = jnp.stack(
-        [jnp.linalg.norm(e01, axis=-1), jnp.linalg.norm(e12, axis=-1),
-         jnp.linalg.norm(e20, axis=-1)], axis=-1,
-    )
-    h = area2[:, None] / jnp.maximum(lens, 1e-12)  # heights, [v, w, u] order
-    pen = pe["graze"][:, None] * jnp.sqrt(area2 + 1e-20)[:, None]
-    d = jnp.abs(pe["bary3"]) * h + jnp.where(pe["opens"], 0.0, pen)
-    return jnp.min(d, axis=-1)
+    boundary: min over edge SEGMENTS of the exact 2D point-to-segment
+    distance, taken over the triangle's own edges AND its edge-neighbors'
+    OPEN edges.  Three hard-won rules are baked in:
+
+    * SEGMENTS, not lines.  |bary| * height measures distance to the edge
+      LINE, which keeps a feature's window open in an infinite band along
+      every edge *extension* — past the corners, where aux-sourced plane
+      availability is stochastic, producing full-height warp cliffs whose
+      AD-invisible divergence deltas bias boundary gradients (measured on
+      the occluder-over-receiver test).
+
+    * Interior (shared) edges carry the grazing penalty on an ABSOLUTE
+      scale (multiples of the feature window): scaling it by triangle size
+      made every tiny face-on triangle of a dense mesh look boundary-like,
+      hijacking plane relevance and diluting silhouette velocities with
+      static-surface features.
+
+    * NEIGHBOR-SYMMETRIC.  Measured per-triangle only, the metric JUMPS
+      when a sample crosses an interior edge near a corner (each side sees
+      a different open-edge set), which puts warp steps exactly where eta
+      is large.  Including the edge-neighbors' open edges makes the
+      self+neighbor edge union symmetric across every interior edge, so
+      the metric is continuous there.
+
+    `project`: (N, 3) world points -> (N, >=2) screen coords; must match
+    the projection used for `point_ndc` (camera, or through-the-light for
+    shadow features).
+    """
+    p = point_ndc[:, :2]
+
+    def seg_dist(s0, s1):
+        e = s1[:, :2] - s0[:, :2]
+        tt = jnp.sum((p - s0[:, :2]) * e, axis=-1) / jnp.maximum(
+            jnp.sum(e * e, axis=-1), 1e-18
+        )
+        tt = jnp.clip(tt, 0.0, 1.0)
+        proj = s0[:, :2] + tt[:, None] * e
+        return jnp.linalg.norm(p - proj, axis=-1)
+
+    def corners_of(fids):
+        fidx = geo_det.faces[fids]
+        return [project(geo_det.vertices[fidx[:, k]]) for k in range(3)]
+
+    # Edge order matches pe["opens"] / bary3: [v, w, u] <-> [p0p1, p1p2, p2p0]
+    a, b, c = corners_of(prim_ids)
+    d = jnp.stack([seg_dist(a, b), seg_dist(b, c), seg_dist(c, a)], axis=-1)
+    pen = pe["graze"][:, None] * (4.0 * win)
+    best = jnp.min(d + jnp.where(pe["opens"], 0.0, pen), axis=-1)
+
+    nb = nbrs[prim_ids]  # (N, 3)
+    for k in range(3):
+        has = nb[:, k] >= 0
+        nid = jnp.maximum(nb[:, k], 0)
+        na, nbc, ncc = corners_of(nid)
+        nd = jnp.stack(
+            [seg_dist(na, nbc), seg_dist(nbc, ncc), seg_dist(ncc, na)], axis=-1
+        )
+        use = edge_open[nid] & has[:, None]
+        best = jnp.minimum(best, jnp.min(jnp.where(use, nd, jnp.inf), axis=-1))
+    return best
 
 
 def make_warp_field(
@@ -157,6 +221,7 @@ def make_warp_field(
     tri_chunk: int = 512,
     backend: str = "auto",
     light_positions: Array | None = None,
+    debug: bool = False,
 ) -> Callable[[Array], Array]:
     """Build the screen-space warp V: NDC (N, 2) -> NDC velocities (N, 2).
 
@@ -177,27 +242,81 @@ def make_warp_field(
     gradients just like primary silhouettes.
     """
     origin = camera.to_world[:3, 3]
-    edge_open = _open_edges(geometry)  # (F, 3) in [v, w, u] edge order
+    edge_open, nbrs = _edge_topology(geometry)  # (F, 3) in [v, w, u] edge order
 
     # Scouts: extra samples on a wider ring used ONLY to source triangle
     # ids for plane extension — they widen the information horizon so that
     # by the time a windowed feature gains weight, its plane id has been
     # available for a while (no onset jump).
-    n_scout = max(4, k_aux // 2)
-    scout_mult = 3.0
+    n_scout = max(6, k_aux // 2)
     win = 1.8 * radius  # feature window (screen units)
+    # Reach bound: the scout ring must guarantee a feature's plane id is
+    # found BEFORE any candidate's plane crossing comes within `win` of the
+    # feature boundary, for EVERY approach direction.  Scout angles are
+    # DETERMINISTIC mid-stratum (scouts only source prim ids — angular jitter
+    # buys nothing and destroys the worst-case guarantee: a jittered stratum
+    # allows 60-degree gaps, flickering ref availability pixel-to-pixel),
+    # so the worst case is a silhouette approached midway between two scout
+    # angles and the minimum ring radius r_s must satisfy
+    # r_s * cos(pi/n_scout) >= radius + win (+ margin).  Violating this puts
+    # a hard CLIFF in the warp field at the information horizon — an
+    # AD-invisible delta in the divergence whose area scales with f at the
+    # cliff (measured: +0.43 vs analytic -0.027 on the occluder-over-receiver
+    # test, where the cliff lands on the receiver's finite depth instead of
+    # on background zeros).
+    scout_mult = float(np.ceil(10.0 * (1.1 + win / radius)
+                               / np.cos(np.pi / n_scout)) / 10.0)
     fb = (win / 4.0) ** 2
 
     def warp(u: Array) -> Array:
         n = u.shape[0]
         m = k_aux + n_scout
-        xi = jax.random.uniform(key, (n, m, 2))
-        phi = 2.0 * jnp.pi * (xi[..., 0] / m + jnp.arange(m)[None, :] / m)
+        # ONE constellation SHARED by all pixels (broadcast), not per-pixel
+        # draws.  Per-pixel iid offsets are unbiased (the estimator is
+        # linear in the field derivatives) but their estimator variance near
+        # silhouettes dominated the integrated gradient; a shared
+        # constellation makes W a single coherent smooth field whose flux
+        # depends only on the (deterministic) edge velocity — measured
+        # seed-to-seed spread collapsed from ~50% to ~1% on the analytic
+        # boundary tests.  Average a few keys for the residual constellation
+        # dependence.
+        xi = jax.random.uniform(key, (1, m, 2))
+        # Candidates and scouts are stratified over the FULL circle
+        # independently (each group covers [0, 2pi)).  A single joint
+        # stratification would hand each group only an ARC, making both the
+        # velocity estimate and the scout horizon direction-dependent.
         is_cand = jnp.arange(m) < k_aux
+        group_idx = jnp.where(
+            is_cand, jnp.arange(m), jnp.arange(m) - k_aux
+        )
+        group_n = jnp.where(is_cand, k_aux, n_scout)
+        # Candidates: jittered strata over the FULL circle (a joint
+        # stratification with the scouts would hand each group only an arc),
+        # in ANTITHETIC PAIRS — candidate k >= k_aux/2 mirrors candidate
+        # k - k_aux/2 (phi + pi, same radius).  Pairing cancels the
+        # odd-in-offset component of the weighted-blend noise, which
+        # dominates the divergence estimator's variance near silhouettes.
+        # Scouts: deterministic mid-stratum angles (see reach bound above).
+        half = max(1, k_aux // 2)
+        pair_idx = jnp.where(is_cand, jnp.arange(m) % half, 0)
+        xi_ang = jnp.take_along_axis(
+            xi[..., 0], jnp.where(is_cand, pair_idx, jnp.arange(m))[None, :], axis=1
+        )
+        xi_rad = jnp.take_along_axis(
+            xi[..., 1], jnp.where(is_cand, pair_idx, jnp.arange(m))[None, :], axis=1
+        )
+        mirror = is_cand & (jnp.arange(m) >= half)
+        jitter = jnp.where(is_cand[None, :], xi_ang, 0.5)
+        base_idx = jnp.where(is_cand, pair_idx, group_idx)
+        base_n = jnp.where(is_cand, half, group_n)
+        phi = (
+            2.0 * jnp.pi * ((jitter + base_idx[None, :]) / base_n[None, :])
+            + jnp.where(mirror, jnp.pi, 0.0)[None, :]
+        )
         r = jnp.where(
             is_cand[None, :],
-            radius * jnp.sqrt(xi[..., 1]),
-            scout_mult * radius * (0.9 + 0.2 * xi[..., 1]),
+            radius * jnp.sqrt(xi_rad),
+            scout_mult * radius * (1.0 + 0.2 * xi_rad),
         )
         offs = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
         u_k = u[:, None, :] + offs  # (N, M, 2), live in u
@@ -218,43 +337,85 @@ def make_warp_field(
         valid = hit.valid.reshape(n, m)
         prim = jnp.maximum(hit.prim, 0)
 
-        def cam_corners(tris):
-            return [
-                points_to_ndc(camera, jax.lax.stop_gradient(t)) for t in tris
-            ]
+        def cam_project(pts):
+            return points_to_ndc(camera, pts)
 
         # ---- carrier feature: surface hit (own plane) or stationary --------
         own = _plane_eval(o_flat, d_flat, prim, geometry, geo_det, edge_open)
         ndc0 = points_to_ndc(camera, own["x"])[:, :2].reshape(n, m, 2)
-        own_b = _screen_boundary(own, cam_corners(own["tris"])).reshape(n, m)
+        own_b = _screen_boundary(
+            own, cam_project, points_to_ndc(camera, own["x_det"]), win,
+            geo_det, edge_open, nbrs, prim,
+        ).reshape(n, m)
         val0 = jnp.where(valid[..., None], ndc0, u_k)
         b0 = jnp.where(valid, jnp.minimum(own_b, win), win)
 
-        feat_val = [val0]
-        feat_b = [b0]
-        feat_on = [jnp.ones_like(valid)]
+        # ---- per-aux feature blend (windowed): accumulator form -----------
+        # Extension/shadow features enter through a window:
+        # eta = relu(1/(B^2+fb) - 1/(win^2+fb)) is EXACTLY ZERO for B >= win,
+        # so a feature appearing while still far from its boundary
+        # (guaranteed by the scout ring's wider horizon) changes nothing —
+        # onset is seamless and the whole transition is carried by smooth,
+        # AD-visible barycentric motion.  `q` tracks the min windowed
+        # boundary distance over these features; the carrier is added LAST,
+        # suppressed by q^2/(q^2+fb) (see below).
+        eta_cap = 1.0 / (win * win + fb)
+        acc_eta = jnp.zeros_like(b0)
+        acc_val = jnp.zeros_like(val0)
+        q_min = jnp.full_like(b0, win)
 
-        # ---- primary-silhouette extension --------------------------------
-        # Borrow the nearest-to-edge sibling triangle (scouts included) and
-        # intersect each ray with its extended plane: barycentrics cross 0
-        # smoothly at the silhouette, so the transition is visible to the
-        # forward-mode probes — a frozen hit/miss mask alone would hide it.
-        # Applies to miss aux AND to aux that hit a DIFFERENT surface (e.g.
-        # a static backdrop behind a moving occluder): without it, the
-        # occluder's velocity influence on the far side would end in a mask
-        # cliff at the candidate-disk radius instead of decaying smoothly.
-        b_for_sel = jnp.where(valid, own_b, 1e9)
-        sel = jnp.argmin(b_for_sel, axis=1)
-        has_ref = jnp.any(valid, axis=1)
-        ref_prim = prim.reshape(n, m)[jnp.arange(n), sel]
-        ext_prim = jnp.broadcast_to(ref_prim[:, None], (n, m)).reshape(-1)
-        ext = _plane_eval(o_flat, d_flat, ext_prim, geometry, geo_det, edge_open)
-        same = valid & (prim.reshape(n, m) == ref_prim[:, None])
-        ok_ext = (~same) & has_ref[:, None] & (ext["t"].reshape(n, m) > 1e-4)
-        ndc1 = points_to_ndc(camera, ext["x"])[:, :2].reshape(n, m, 2)
-        feat_val.append(jnp.where(ok_ext[..., None], ndc1, u_k))
-        feat_b.append(_screen_boundary(ext, cam_corners(ext["tris"])).reshape(n, m))
-        feat_on.append(ok_ext)
+        def add_feature(fv, fbnd, fon, acc):
+            acc_eta, acc_val, q_min = acc
+            eta = jnp.where(
+                fon, jnp.maximum(1.0 / (fbnd * fbnd + fb) - eta_cap, 0.0), 0.0
+            )
+            acc_eta = acc_eta + eta
+            acc_val = acc_val + eta[..., None] * jnp.where(fon[..., None], fv, u_k)
+            q_min = jnp.minimum(
+                q_min, jnp.where(fon, jnp.minimum(fbnd, win), win)
+            )
+            return acc_eta, acc_val, q_min
+
+        # ---- primary-silhouette extensions: one feature PER AUX PLANE ------
+        # Every aux (scouts included) donates its hit plane as an extension
+        # feature for all sibling rays: barycentrics cross 0 smoothly at the
+        # silhouette, so the transition is visible to the forward-mode probes
+        # — a frozen hit/miss mask alone would hide it.  Applies to miss aux
+        # AND to aux that hit a DIFFERENT surface (e.g. a static backdrop
+        # behind a moving occluder): without it, the occluder's velocity
+        # influence on the far side would end in a mask cliff at the
+        # candidate-disk radius instead of decaying smoothly.
+        #
+        # Per-aux planes instead of top-R "ref" selection: any rank-based
+        # global ref set can be SQUEEZED — when the aux pinning the needed
+        # plane crosses out, other legitimately boundary-near planes (a
+        # sibling triangle, the receiver's own far edge) can fill every slot
+        # and the needed extension vanishes while its window weight is still
+        # large, producing a full-height W step (an AD-invisible divergence
+        # delta; measured +0.02 vs analytic -0.027 on the occluder-over-
+        # receiver test).  With one feature per aux, a feature exists exactly
+        # as long as its sourcing aux sees the plane, and the scout-reach
+        # bound guarantees that outlives the window.  Inert planes (static,
+        # or far from their boundary) gate to zero eta, so duplicates and
+        # irrelevant slots are harmless.
+        prim_nm = prim.reshape(n, m)
+        for j in range(m):
+            ext_prim = jnp.broadcast_to(prim_nm[:, j:j + 1], (n, m)).reshape(-1)
+            ext = _plane_eval(o_flat, d_flat, ext_prim, geometry, geo_det, edge_open)
+            same = valid & (prim_nm == prim_nm[:, j:j + 1])
+            ok_ext = (
+                (~same)
+                & valid[:, j:j + 1]
+                & (ext["t"].reshape(n, m) > 1e-4)
+            )
+            ndc1 = points_to_ndc(camera, ext["x"])[:, :2].reshape(n, m, 2)
+            fbnd = _screen_boundary(
+                ext, cam_project, points_to_ndc(camera, ext["x_det"]), win,
+                geo_det, edge_open, nbrs, ext_prim,
+            ).reshape(n, m)
+            acc_eta, acc_val, q_min = add_feature(
+                ndc1, fbnd, ok_ext, (acc_eta, acc_val, q_min)
+            )
 
         # ---- shadow features, one per delta light ---------------------------
         if light_positions is not None and light_positions.shape[0] > 0:
@@ -278,95 +439,96 @@ def make_warp_field(
                 )
                 bhit = jax.tree.map(jax.lax.stop_gradient, bhit)
                 blocked = bhit.valid.reshape(n, m) & valid
-                bprim = jnp.maximum(bhit.prim, 0)
+                bprim = jnp.maximum(bhit.prim, 0).reshape(n, m)
 
-                # Blocked aux use their own blocker; unblocked aux extend the
-                # nearest-to-edge sibling blocker's plane (smooth crossing).
-                sb_own = _plane_eval(lpos_b, seg, bprim, geometry, geo_det, edge_open)
-                sb_own_b = jnp.min(jnp.abs(sb_own["bary3"]), axis=-1)
-                sb_sel = jnp.where(blocked, sb_own_b.reshape(n, m), 1e9)
-                bsel = jnp.argmin(sb_sel, axis=1)
-                has_bref = jnp.any(blocked, axis=1)
-                ref_bprim = bprim.reshape(n, m)[jnp.arange(n), bsel]
-                extb = jnp.where(
-                    blocked.reshape(-1),
-                    bprim,
-                    jnp.broadcast_to(ref_bprim[:, None], (n, m)).reshape(-1),
-                )
-                sb = _plane_eval(lpos_b, seg, extb, geometry, geo_det, edge_open)
-                t_sb = sb["t"].reshape(n, m)
-                ok_s = valid & (
-                    blocked | (has_bref[:, None] & (t_sb > 1e-3) & (t_sb < 0.999))
-                )
+                # Shadow footprint projector: a blocker-plane point projected
+                # through the light onto the receiver plane, then to screen.
+                def shadow_project(q):
+                    dq = jax.lax.stop_gradient(q - lpos[None, :])
+                    den = jnp.sum(jax.lax.stop_gradient(n_recv) * dq, axis=-1)
+                    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+                    tq = jnp.sum(
+                        jax.lax.stop_gradient(n_recv)
+                        * jax.lax.stop_gradient(x_flat - lpos[None, :]),
+                        axis=-1,
+                    ) / den
+                    return points_to_ndc(
+                        camera,
+                        jax.lax.stop_gradient(lpos[None, :] + tq[:, None] * dq),
+                    )
 
-                # Project the (extended-)blocker point through the light onto
-                # the receiver plane: the point is on the L->x ray, so the
-                # primal lands exactly back on x — only the velocity differs
-                # (it moves with the shadow edge, at the blocker-to-receiver
-                # magnification).
-                bm = sb["x"]
-                d_s = bm - lpos[None, :]
-                denom = jnp.sum(n_recv * d_s, axis=-1)
-                safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-                t_s = jnp.sum(n_recv * (x_flat - lpos[None, :]), axis=-1) / safe
-                x_s = lpos[None, :] + t_s[:, None] * d_s
-                ndc_s = points_to_ndc(camera, x_s)[:, :2].reshape(n, m, 2)
+                # One shadow feature PER AUX BLOCKER PLANE (same no-squeeze
+                # rationale as the primary extensions): every blocked aux
+                # donates its blocker plane; all sibling shadow segments are
+                # evaluated against it, so the blocker's silhouette motion is
+                # smooth in the sample position for the divergence probes.
+                for j in range(m):
+                    extb = jnp.broadcast_to(bprim[:, j:j + 1], (n, m)).reshape(-1)
+                    sb = _plane_eval(lpos_b, seg, extb, geometry, geo_det, edge_open)
+                    t_sb = sb["t"].reshape(n, m)
+                    ok_s = (
+                        valid
+                        & blocked[:, j:j + 1]
+                        & (t_sb > 1e-3)
+                        & (t_sb < 0.999)
+                    )
 
-                # Shadow footprint: blocker corners projected through the
-                # light onto the receiver plane, then to screen.
-                def shadow_corners(tris):
-                    outs = []
-                    for q in tris:
-                        dq = jax.lax.stop_gradient(q - lpos[None, :])
-                        den = jnp.sum(jax.lax.stop_gradient(n_recv) * dq, axis=-1)
-                        den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-                        tq = jnp.sum(
-                            jax.lax.stop_gradient(n_recv)
-                            * jax.lax.stop_gradient(x_flat - lpos[None, :]),
-                            axis=-1,
-                        ) / den
-                        outs.append(
-                            points_to_ndc(
-                                camera,
-                                jax.lax.stop_gradient(
-                                    lpos[None, :] + tq[:, None] * dq
-                                ),
-                            )
-                        )
-                    return outs
+                    # Project the blocker-plane point through the light onto
+                    # the receiver plane: the point is on the L->x ray, so
+                    # the primal lands exactly back on x — only the velocity
+                    # differs (it moves with the shadow edge, at the
+                    # blocker-to-receiver magnification).
+                    bm = sb["x"]
+                    d_s = bm - lpos[None, :]
+                    denom = jnp.sum(n_recv * d_s, axis=-1)
+                    safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+                    t_s = jnp.sum(
+                        n_recv * (x_flat - lpos[None, :]), axis=-1
+                    ) / safe
+                    x_s = lpos[None, :] + t_s[:, None] * d_s
+                    ndc_s = points_to_ndc(camera, x_s)[:, :2].reshape(n, m, 2)
 
-                feat_val.append(jnp.where(ok_s[..., None], ndc_s, u_k))
-                feat_b.append(
-                    _screen_boundary(sb, shadow_corners(sb["tris"])).reshape(n, m)
-                )
-                feat_on.append(ok_s)
+                    # Boundary metric point: the detached blocker point
+                    # projected the same way as the footprint corners
+                    # (theta-detached, live in the sample position).
+                    dq_det = jax.lax.stop_gradient(sb["x_det"] - lpos[None, :])
+                    den_det = jnp.sum(
+                        jax.lax.stop_gradient(n_recv) * dq_det, axis=-1
+                    )
+                    den_det = jnp.where(jnp.abs(den_det) < 1e-9, 1e-9, den_det)
+                    tq_det = jnp.sum(
+                        jax.lax.stop_gradient(n_recv)
+                        * jax.lax.stop_gradient(x_flat - lpos[None, :]),
+                        axis=-1,
+                    ) / den_det
+                    p_det = points_to_ndc(
+                        camera, lpos[None, :] + tq_det[:, None] * dq_det
+                    )
+                    fbnd_s = _screen_boundary(
+                        sb, shadow_project, p_det, win,
+                        geo_det, edge_open, nbrs, extb,
+                    ).reshape(n, m)
+                    acc_eta, acc_val, q_min = add_feature(
+                        ndc_s, fbnd_s, ok_s, (acc_eta, acc_val, q_min)
+                    )
 
-        # ---- per-aux feature blend (windowed), then across-aux weights ------
-        # The carrier is always on; every other feature enters through a
-        # window: eta = relu(1/(B^2+fb) - 1/(win^2+fb)) is EXACTLY ZERO for
-        # B >= win, so a feature appearing while still far from its boundary
-        # (guaranteed by the scout ring's wider horizon) changes nothing —
-        # onset is seamless and the whole transition is carried by smooth,
-        # AD-visible barycentric motion.
-        eta_cap = 1.0 / (win * win + fb)
-        etas = [1.0 / (b0 * b0 + fb)]
-        for fv, fbnd, fon in zip(feat_val[1:], feat_b[1:], feat_on[1:]):
-            etas.append(
-                jnp.where(
-                    fon,
-                    jnp.maximum(1.0 / (fbnd * fbnd + fb) - eta_cap, 0.0),
-                    0.0,
-                )
-            )
-        eta_sum = sum(etas)
-        val_k = sum(e[..., None] * v for e, v in zip(etas, feat_val)) / jnp.maximum(
-            eta_sum[..., None], 1e-20
-        )
-        b_all = [b0] + [
-            jnp.where(fon, jnp.minimum(fbnd, win), win)
-            for fbnd, fon in zip(feat_b[1:], feat_on[1:])
-        ]
-        b_k = jnp.minimum(jnp.min(jnp.stack(b_all, axis=-1), axis=-1), win)
+        # Carrier, added last with multiplicative suppression q^2/(q^2+fb).
+        # Rationale (exact-continuity algebra): when a ray crosses plane P's
+        # silhouette outward, the surface behind P intrudes as the new
+        # carrier with finite default eta while P's extension eta is finite
+        # (1/fb), leaving an O(fb/win^2) velocity jump — an AD-invisible
+        # divergence delta along every shared-constellation crossing line.
+        # Suppressing the carrier by q^2/(q^2+fb) makes the two one-sided
+        # limits match EXACTLY:
+        #   inside (carrier = P, q = win):  (1/fb) * win^2/(win^2+fb)
+        #   outside (P as extension, B->0): 1/fb - 1/(win^2+fb)
+        # which are algebraically identical, while the intruding carrier's
+        # eta -> 0 as q -> 0.
+        eta0 = (1.0 / (b0 * b0 + fb)) * (q_min * q_min) / (q_min * q_min + fb)
+        acc_eta = acc_eta + eta0
+        acc_val = acc_val + eta0[..., None] * val0
+        val_k = acc_val / jnp.maximum(acc_eta[..., None], 1e-20)
+        b_k = jnp.minimum(q_min, b0)
 
         # Candidates only (scouts sourced ids, they don't vote).
         val_c = val_k[:, :k_aux]
@@ -376,6 +538,12 @@ def make_warp_field(
         w = 1.0 / (d2 + b_c * b_c + floor)
         w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
         v_ndc = jnp.sum(w[..., None] * val_c, axis=1)
+        if debug:
+            return v_ndc - jax.lax.stop_gradient(v_ndc - u), {
+                "valid": valid, "prim": prim_nm, "own_b": own_b, "b0": b0,
+                "q_min": q_min, "acc_eta": acc_eta, "eta0": eta0,
+                "b_c": b_c, "w": w, "val_c": val_c,
+            }
         return v_ndc - jax.lax.stop_gradient(v_ndc - u)  # velocity form: primal u
 
     return warp
