@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -94,8 +98,16 @@ def measure(
         # literal 0.0 multiplier lets XLA constant-fold the gradient out of
         # the chain entirely (measured: physically impossible throughputs).
         rays = rays + 1e-20 * grad
-    jax.block_until_ready(rays)
+    # End the timed region with a HOST READBACK that data-depends on every
+    # step: block_until_ready through the axon tunnel does not reliably wait
+    # for device execution (measured: spp>1 configs returned in pure
+    # dispatch time, reporting thousands of renders/sec).  A D2H readback
+    # cannot lie.  It also poisons subsequent dispatches in this process
+    # (CLAUDE.md), so it must be the LAST thing a measurement does — hence
+    # one readback per measure(), outside the per-step loop.
+    checksum = float(jnp.sum(rays))
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     renders_per_sec = repeats * batch / dt
     return {
@@ -128,11 +140,29 @@ VARIANTS = [
 ]
 
 
+_ENV_OF = {
+    "size": "BENCH_SIZE", "spp": "BENCH_SPP", "bounces": "BENCH_BOUNCES",
+    "repeats": "BENCH_REPEATS", "resolution": "BENCH_RESOLUTION",
+    "batch": "BENCH_BATCH",
+}
+
+
 def main() -> None:
     if os.environ.get("BENCH_VARIANTS"):
+        # One SUBPROCESS per variant: the end-of-measurement host readback
+        # poisons every later dispatch in its process (axon tunnel
+        # pathology, CLAUDE.md), so measurements must not share a process.
         results = []
         for v in VARIANTS:
-            r = measure(**v)
+            env = dict(os.environ)
+            env.pop("BENCH_VARIANTS")
+            for k, val in v.items():
+                env[_ENV_OF[k]] = str(val)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout.strip().splitlines()[-1]
+            r = json.loads(out)
             print(json.dumps(r), flush=True)
             results.append(r)
         with open(os.path.join(os.path.dirname(__file__) or ".",
@@ -149,8 +179,7 @@ def main() -> None:
         batch=int(os.environ.get("BENCH_BATCH", 16)),
         ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)) or 0,
     )
-    r.pop("detail", None)  # driver contract: one compact JSON line
-    print(json.dumps(r))
+    print(json.dumps(r))  # driver contract: ONE JSON line
 
 
 if __name__ == "__main__":
