@@ -66,6 +66,11 @@ def measure(
         width=size, height=size, spp=spp, max_bounces=bounces,
         tri_chunk=tri_chunk, ray_chunk=ray_chunk,
     )
+    # This int() is ALSO the early device->host read that flips the axon
+    # tunnel into EAGER execution for the rest of the process.  Without any
+    # D2H before the timed region, the tunnel lazily captures work and the
+    # final readback triggers a slow serial replay (measured 10-15x worse
+    # than eager execution).  Do not remove.
     n_faces = int(bridge.assemble(
         dict(randomize(jax.random.key(0), 0))
     ).geometry.faces.shape[0])
