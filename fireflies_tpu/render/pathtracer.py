@@ -21,6 +21,8 @@ scene variants, and reverse-differentiates.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -115,14 +117,46 @@ def trace_rays(
 
     for bounce in range(config.max_bounces):
         bkey = jax.random.fold_in(key, bounce)
-        hit = closest_hit(
-            o,
-            d,
-            scene.geometry,
-            tri_chunk=config.tri_chunk,
-            backend=config.backend,
-            shared_origin=primary_origin if bounce == 0 else None,
-        )
+        if bounce == 0:
+            hit = closest_hit(
+                o,
+                d,
+                scene.geometry,
+                tri_chunk=config.tri_chunk,
+                backend=config.backend,
+                shared_origin=primary_origin,
+            )
+        elif _os.environ.get("FF_SORT_INDIRECT", "1") != "0":
+            # Indirect rays have spatially coherent origins (tile-major
+            # bounce-0 hits) but BSDF-sampled directions, which defeats the
+            # intersection kernel's per-tile cluster prune (a tile whose
+            # directions span the sphere activates almost every cluster).
+            # Sorting rays by (tile, direction octant) restores coherence;
+            # ids are detached so the permutation is gradient-free.
+            tile_id = jnp.arange(n_rays, dtype=jnp.int32) // 2048
+            dd = jax.lax.stop_gradient(d)
+            octant = (
+                (dd[:, 0] > 0).astype(jnp.int32) * 4
+                + (dd[:, 1] > 0).astype(jnp.int32) * 2
+                + (dd[:, 2] > 0).astype(jnp.int32)
+            )
+            perm = jnp.argsort(tile_id * 8 + octant, stable=True)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(n_rays, dtype=perm.dtype)
+            )
+            hit_s = closest_hit(
+                o[perm],
+                d[perm],
+                scene.geometry,
+                tri_chunk=config.tri_chunk,
+                backend=config.backend,
+            )
+            hit = jax.tree.map(lambda x: x[inv], hit_s)
+        else:
+            hit = closest_hit(
+                o, d, scene.geometry,
+                tri_chunk=config.tri_chunk, backend=config.backend,
+            )
         hit = jax.tree.map(jax.lax.stop_gradient, hit)
 
         # Background contribution for escaping rays, then retire them.

@@ -72,19 +72,22 @@ def _edge_topology(geometry: Geometry) -> tuple[Array, Array]:
     pairs = jnp.concatenate(
         [f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0
     )  # (3F, 2)
-    lo = jnp.minimum(pairs[:, 0], pairs[:, 1]).astype(jnp.int64)
-    hi = jnp.maximum(pairs[:, 0], pairs[:, 1]).astype(jnp.int64)
-    keys = lo * jnp.int64(geometry.vertices.shape[0] + 1) + hi
-    order = jnp.argsort(keys)
-    sk = keys[order]
-    idx = jnp.arange(sk.shape[0])
-    same_next = jnp.concatenate([sk[1:] == sk[:-1], jnp.array([False])])
-    same_prev = jnp.concatenate([jnp.array([False]), sk[1:] == sk[:-1]])
+    lo = jnp.minimum(pairs[:, 0], pairs[:, 1]).astype(jnp.int32)
+    hi = jnp.maximum(pairs[:, 0], pairs[:, 1]).astype(jnp.int32)
+    # Stable lexsort on (lo, hi): avoids a combined int64 key (x64 is off,
+    # and lo * V + hi overflows int32 past ~46k vertices).
+    order1 = jnp.argsort(hi, stable=True)
+    order = order1[jnp.argsort(lo[order1], stable=True)]
+    lo_s, hi_s = lo[order], hi[order]
+    idx = jnp.arange(lo.shape[0])
+    adj_same = (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])
+    same_next = jnp.concatenate([adj_same, jnp.array([False])])
+    same_prev = jnp.concatenate([jnp.array([False]), adj_same])
     partner_sorted = jnp.where(same_next, idx + 1, jnp.where(same_prev, idx - 1, idx))
     partner = order[partner_sorted]  # original flat-edge index of the partner
     inv = jnp.zeros_like(order).at[order].set(idx)
     partner_of = partner[inv]  # for each original edge, its partner (or self)
-    open_flat = partner_of == jnp.arange(keys.shape[0])
+    open_flat = partner_of == idx
     nbr_flat = jnp.where(open_flat, -1, partner_of % n_faces).astype(jnp.int32)
     return open_flat.reshape(3, -1).T, nbr_flat.reshape(3, -1).T
 
@@ -399,13 +402,15 @@ def make_warp_field(
         # or far from their boundary) gate to zero eta, so duplicates and
         # irrelevant slots are harmless.
         prim_nm = prim.reshape(n, m)
-        for j in range(m):
-            ext_prim = jnp.broadcast_to(prim_nm[:, j:j + 1], (n, m)).reshape(-1)
+
+        def ext_slot(acc, slot):
+            prim_j, valid_j = slot  # (n,), (n,)
+            ext_prim = jnp.broadcast_to(prim_j[:, None], (n, m)).reshape(-1)
             ext = _plane_eval(o_flat, d_flat, ext_prim, geometry, geo_det, edge_open)
-            same = valid & (prim_nm == prim_nm[:, j:j + 1])
+            same = valid & (prim_nm == prim_j[:, None])
             ok_ext = (
                 (~same)
-                & valid[:, j:j + 1]
+                & valid_j[:, None]
                 & (ext["t"].reshape(n, m) > 1e-4)
             )
             ndc1 = points_to_ndc(camera, ext["x"])[:, :2].reshape(n, m, 2)
@@ -413,14 +418,32 @@ def make_warp_field(
                 ext, cam_project, points_to_ndc(camera, ext["x_det"]), win,
                 geo_det, edge_open, nbrs, ext_prim,
             ).reshape(n, m)
-            acc_eta, acc_val, q_min = add_feature(
-                ndc1, fbnd, ok_ext, (acc_eta, acc_val, q_min)
-            )
+            return add_feature(ndc1, fbnd, ok_ext, acc), None
+
+        # lax.scan over the m slots (identical bodies): unrolling m plane
+        # evaluations traced 10x+ longer to compile for no runtime benefit.
+        (acc_eta, acc_val, q_min), _ = jax.lax.scan(
+            ext_slot,
+            (acc_eta, acc_val, q_min),
+            (prim_nm.T, valid.T),
+        )
 
         # ---- shadow features, one per delta light ---------------------------
+        shadow_dbg = []
         if light_positions is not None and light_positions.shape[0] > 0:
             x_flat = jnp.where(
                 valid.reshape(-1)[:, None], own["x"], jax.lax.stop_gradient(own["x"])
+            )
+            # Theta-detached but SAMPLE-POSITION-LIVE receiver point for the
+            # boundary metric: a blanket stop_gradient here also severs the
+            # u-dependence, making every shadow eta invisible to the
+            # divergence probes (measured: div_theta exactly 0 across the
+            # whole shadow band while W_theta was correct -> the estimator
+            # delivered 6% of the analytic shadow flux).
+            x_flat_det = jnp.where(
+                valid.reshape(-1)[:, None],
+                own["x_det"],
+                jax.lax.stop_gradient(own["x"]),
             )
             n_recv = own["n"]
             for li in range(light_positions.shape[0]):
@@ -462,13 +485,14 @@ def make_warp_field(
                 # donates its blocker plane; all sibling shadow segments are
                 # evaluated against it, so the blocker's silhouette motion is
                 # smooth in the sample position for the divergence probes.
-                for j in range(m):
-                    extb = jnp.broadcast_to(bprim[:, j:j + 1], (n, m)).reshape(-1)
+                def shadow_slot(acc, slot):
+                    bprim_j, blocked_j = slot  # (n,), (n,)
+                    extb = jnp.broadcast_to(bprim_j[:, None], (n, m)).reshape(-1)
                     sb = _plane_eval(lpos_b, seg, extb, geometry, geo_det, edge_open)
                     t_sb = sb["t"].reshape(n, m)
                     ok_s = (
                         valid
-                        & blocked[:, j:j + 1]
+                        & blocked_j[:, None]
                         & (t_sb > 1e-3)
                         & (t_sb < 0.999)
                     )
@@ -488,17 +512,18 @@ def make_warp_field(
                     x_s = lpos[None, :] + t_s[:, None] * d_s
                     ndc_s = points_to_ndc(camera, x_s)[:, :2].reshape(n, m, 2)
 
-                    # Boundary metric point: the detached blocker point
-                    # projected the same way as the footprint corners
-                    # (theta-detached, live in the sample position).
-                    dq_det = jax.lax.stop_gradient(sb["x_det"] - lpos[None, :])
+                    # Boundary metric point: theta-detached but LIVE in the
+                    # sample position (x_det carries live-ray barycentrics
+                    # over detached vertices) — stop_gradient would blind the
+                    # divergence probes (see x_flat_det above).
+                    dq_det = sb["x_det"] - jax.lax.stop_gradient(lpos)[None, :]
                     den_det = jnp.sum(
                         jax.lax.stop_gradient(n_recv) * dq_det, axis=-1
                     )
                     den_det = jnp.where(jnp.abs(den_det) < 1e-9, 1e-9, den_det)
                     tq_det = jnp.sum(
                         jax.lax.stop_gradient(n_recv)
-                        * jax.lax.stop_gradient(x_flat - lpos[None, :]),
+                        * (x_flat_det - lpos[None, :]),
                         axis=-1,
                     ) / den_det
                     p_det = points_to_ndc(
@@ -508,9 +533,22 @@ def make_warp_field(
                         sb, shadow_project, p_det, win,
                         geo_det, edge_open, nbrs, extb,
                     ).reshape(n, m)
-                    acc_eta, acc_val, q_min = add_feature(
-                        ndc_s, fbnd_s, ok_s, (acc_eta, acc_val, q_min)
-                    )
+                    acc2 = add_feature(ndc_s, fbnd_s, ok_s, acc)
+                    dbg = {"ok_s": ok_s, "fbnd_s": fbnd_s, "t_sb": t_sb} if debug else None
+                    return acc2, dbg
+
+                (acc_eta, acc_val, q_min), sdbg = jax.lax.scan(
+                    shadow_slot,
+                    (acc_eta, acc_val, q_min),
+                    (bprim.T, blocked.T),
+                )
+                if debug:
+                    shadow_dbg.append({
+                        "per_slot": sdbg,
+                        "blocked": blocked,
+                        "x_flat": x_flat.reshape(n, m, 3),
+                        "bhit_valid": bhit.valid.reshape(n, m),
+                    })
 
         # Carrier, added last with multiplicative suppression q^2/(q^2+fb).
         # Rationale (exact-continuity algebra): when a ray crosses plane P's
@@ -542,7 +580,7 @@ def make_warp_field(
             return v_ndc - jax.lax.stop_gradient(v_ndc - u), {
                 "valid": valid, "prim": prim_nm, "own_b": own_b, "b0": b0,
                 "q_min": q_min, "acc_eta": acc_eta, "eta0": eta0,
-                "b_c": b_c, "w": w, "val_c": val_c,
+                "b_c": b_c, "w": w, "val_c": val_c, "shadow": shadow_dbg,
             }
         return v_ndc - jax.lax.stop_gradient(v_ndc - u)  # velocity form: primal u
 
