@@ -269,6 +269,9 @@ def occluded_any(
     shared_origin: Array | None = None,
 ) -> Array:
     """Any-hit dispatcher (shadow rays).  See closest_hit for shared_origin."""
+    import os as _os  # noqa: PLC0415
+
+    any_hit = _os.environ.get("FF_OCCL_CLOSEST") is None  # perf-bisection knob
     n_faces = geometry.faces.shape[0]
     on_tpu = jax.default_backend() not in ("cpu",) and backend != "jax"
     if _use_pallas(backend, n_faces):
@@ -280,12 +283,12 @@ def occluded_any(
         if shared_origin is not None:
             _, prim = intersect_pallas_shared(
                 shared_origin, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max, any_hit=True,
+                t_min=t_min, t_max=t_max, any_hit=any_hit,
             )
         else:
             _, prim = intersect_pallas(
                 o, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max, any_hit=True,
+                t_min=t_min, t_max=t_max, any_hit=any_hit,
             )
         return prim >= 0
     if on_tpu:
@@ -297,12 +300,12 @@ def occluded_any(
         if shared_origin is not None:
             _, prim = intersect_pallas_streamed(
                 shared_origin, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max, any_hit=True,
+                t_min=t_min, t_max=t_max, any_hit=any_hit,
             )
         else:
             _, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max, any_hit=True,
+                t_min=t_min, t_max=t_max, any_hit=any_hit,
             )
         return prim >= 0
     if shared_origin is not None:

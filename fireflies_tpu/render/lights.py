@@ -88,7 +88,14 @@ def eval_projector(projector: Projector, p: Array):
     ndc_y = view[:, 1] / (safe * tan_half)
 
     uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
-    tex = bilinear_sample(projector.texture, uv)
+    import os as _os  # noqa: PLC0415
+
+    if _os.environ.get("FF_PROJ_CONST"):  # perf-bisection knob
+        tex = jnp.broadcast_to(
+            jnp.mean(projector.texture, axis=(0, 1)), (p.shape[0], 3)
+        ) + 1e-20 * uv[:, :1]
+    else:
+        tex = bilinear_sample(projector.texture, uv)
 
     in_frustum = (
         (depth > projector.near)

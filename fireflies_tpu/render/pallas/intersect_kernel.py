@@ -161,10 +161,10 @@ def pack_triangles_woop(vertices: Array, faces: Array, origin: Array, chunk: int
     return woop, boxes
 
 
-def pack_dirs(d: Array, t_max) -> tuple[Array, Array, int]:
+def pack_dirs(d: Array, t_max, ray_tile: int = RAY_TILE) -> tuple[Array, Array, int]:
     """(N, 3) directions -> ((3, R/128, 128) SoA, (R/128, 128) tmax, N)."""
     n = d.shape[0]
-    r = -(-n // RAY_TILE) * RAY_TILE
+    r = -(-n // ray_tile) * ray_tile
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if r != n:
         d = jnp.concatenate([d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (r - n, 1))])
@@ -177,7 +177,7 @@ def pack_dirs(d: Array, t_max) -> tuple[Array, Array, int]:
 # ---------------------------------------------------------------------------
 
 
-def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_min, n_chunks, any_hit):
+def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_min, n_chunks, any_hit, chunk=CHUNK, unroll=None):
     ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]  # (16, 128)
     dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
     tmax = tmax_ref[...]
@@ -222,7 +222,7 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
         def process(carry):
             def tri_body(j, carry2):
                 bt, bp = carry2
-                idx = c * CHUNK + j
+                idx = c * chunk + j
                 v0x = tri_ref[0, idx]
                 v0y = tri_ref[1, idx]
                 v0z = tri_ref[2, idx]
@@ -262,14 +262,14 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
                 bp = jnp.where(ok, idx, bp)
                 return bt, bp
 
-            unroll = int(_os.environ.get("FF_TRI_UNROLL", 4))
+            unroll_ = unroll or int(_os.environ.get("FF_TRI_UNROLL", 4))
 
             def unrolled(jj, carry2):
-                for k in range(unroll):
-                    carry2 = tri_body(jj * unroll + k, carry2)
+                for k in range(unroll_):
+                    carry2 = tri_body(jj * unroll_ + k, carry2)
                 return carry2
 
-            return jax.lax.fori_loop(0, CHUNK // unroll, unrolled, carry)
+            return jax.lax.fori_loop(0, chunk // unroll_, unrolled, carry)
 
         return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
 
@@ -298,7 +298,7 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
 
 
 def _kernel_shared(
-    dirs_ref, tmax_ref, woop_ref, box_ref, out_t_ref, out_prim_ref, *, t_min, n_chunks, any_hit
+    dirs_ref, tmax_ref, woop_ref, box_ref, order_ref, out_t_ref, out_prim_ref, *, t_min, n_chunks, any_hit, chunk=CHUNK, unroll=None, mode=None, sublanes=SUBLANES,
 ):
     """Shared-origin variant: boxes pre-shifted so the origin is 0."""
     dx, dy, dz = dirs_ref[0], dirs_ref[1], dirs_ref[2]  # (16, 128)
@@ -313,11 +313,21 @@ def _kernel_shared(
     inv_dy = safe_inv(dy)
     inv_dz = safe_inv(dz)
 
-    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
-    best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+    # Best hit carried as a RATIONAL (tn, dn) with dn > 0: the per-triangle
+    # Woop test needs t = -o'_z / d'_z only for comparisons, and every
+    # comparison cross-multiplies instead — no per-triangle division (the
+    # VPU divide is many-cycle).  One real division at the end.
+    best_tn0 = jnp.full((sublanes, LANES), _BIG, jnp.float32)
+    best_dn0 = jnp.ones((sublanes, LANES), jnp.float32)
+    best_p0 = jnp.full((sublanes, LANES), -1, jnp.int32)
 
-    def chunk_body(c, carry):
-        best_t, best_p = carry
+    def chunk_body(ci, carry):
+        # FRONT-TO-BACK traversal: clusters are visited in order of distance
+        # from the shared origin, so once a tile's rays have nearby hits the
+        # best_t clip in tfar prunes every farther cluster outright.
+        c = order_ref[0, ci]
+        best_tn, best_dn, best_p = carry
+        best_t = best_tn / best_dn  # one div per (cluster, tile) for the slab
         t0x = box_ref[0, c] * inv_dx
         t1x = box_ref[3, c] * inv_dx
         t0y = box_ref[1, c] * inv_dy
@@ -336,8 +346,8 @@ def _kernel_shared(
 
         def process(carry):
             def tri_body(j, carry2):
-                bt, bp = carry2
-                idx = c * CHUNK + j
+                btn, bdn, bp = carry2
+                idx = c * chunk + j
                 w00 = woop_ref[0, idx]
                 w01 = woop_ref[1, idx]
                 w02 = woop_ref[2, idx]
@@ -355,40 +365,46 @@ def _kernel_shared(
                 dpy = w10 * dx + w11 * dy + w12 * dz
                 dpz = w20 * dx + w21 * dy + w22 * dz
 
-                tiny = jnp.abs(dpz) < 1e-12
-                inv_dpz = jnp.where(tiny, 0.0, 1.0 / jnp.where(tiny, 1.0, dpz))
-                t = -opz * inv_dpz
-                u = opx + t * dpx
-                v = opy + t * dpy
-
+                # Division-free: t = tn / dn with dn = |dpz| > 0 and
+                # tn = -opz * sign(dpz); every t-comparison and the u/v
+                # in-triangle tests cross-multiply by dn instead.
+                sgn = jnp.where(dpz >= 0.0, 1.0, -1.0)
+                dn = dpz * sgn
+                tn = -opz * sgn
+                # u = opx + (tn/dn) dpx  =>  u*dn = opx*dn + tn*dpx
+                u_n = opx * dn + tn * dpx
+                v_n = opy * dn + tn * dpy
                 ok = (
-                    ~tiny
-                    & (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
+                    (dn > 1e-12)
+                    & (u_n >= -_EPS_BARY * dn)
+                    & (v_n >= -_EPS_BARY * dn)
+                    & (u_n + v_n <= (1.0 + _EPS_BARY) * dn)
+                    & (tn > t_min * dn)
+                    & (tn < tmax * dn)
+                    & (tn * bdn < btn * dn)
                 )
-                bt = jnp.where(ok, t, bt)
+                btn = jnp.where(ok, tn, btn)
+                bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, idx, bp)
-                return bt, bp
+                return btn, bdn, bp
 
-            unroll = int(_os.environ.get("FF_TRI_UNROLL", 4))
+            unroll_ = unroll or int(_os.environ.get("FF_TRI_UNROLL", 4))
 
             def unrolled(jj, carry2):
-                for k in range(unroll):
-                    carry2 = tri_body(jj * unroll + k, carry2)
+                for k in range(unroll_):
+                    carry2 = tri_body(jj * unroll_ + k, carry2)
                 return carry2
 
-            return jax.lax.fori_loop(0, CHUNK // unroll, unrolled, carry)
+            return jax.lax.fori_loop(0, chunk // unroll_, unrolled, carry)
 
-        mode = _os.environ.get("FF_KERNEL_MODE", "full")  # debug bisection knob
-        if mode == "slab":
-            return (best_t + tnear * 0.0, best_p)
-        if mode == "noprune":
-            return process((best_t, best_p))
-        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+        mode_ = mode or _os.environ.get("FF_KERNEL_MODE", "full")  # debug bisection knob
+        if mode_ == "slab":
+            return (best_tn + tnear * 0.0, best_dn, best_p)
+        if mode_ == "noprune":
+            return process((best_tn, best_dn, best_p))
+        return jax.lax.cond(
+            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
+        )
 
     if any_hit:
         def while_body(carry):
@@ -397,19 +413,21 @@ def _kernel_shared(
 
         def while_cond(carry):
             c, state = carry
-            return (c < n_chunks) & ~jnp.all(state[1] >= 0)
+            return (c < n_chunks) & ~jnp.all(state[2] >= 0)
 
-        _, (best_t, best_p) = jax.lax.while_loop(
-            while_cond, while_body, (0, (best_t0, best_p0))
+        _, (best_tn, best_dn, best_p) = jax.lax.while_loop(
+            while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
         )
     else:
-        best_t, best_p = jax.lax.fori_loop(0, n_chunks, chunk_body, (best_t0, best_p0))
+        best_tn, best_dn, best_p = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (best_tn0, best_dn0, best_p0)
+        )
 
-    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret", "chunk", "unroll", "mode", "sublanes"))
 def _intersect_shared_packed(
     dirs_soa: Array,
     tmax_tiles: Array,
@@ -418,32 +436,43 @@ def _intersect_shared_packed(
     t_min: float,
     any_hit: bool,
     interpret: bool,
+    chunk: int = CHUNK,
+    unroll: int | None = None,
+    mode: str | None = None,
+    sublanes: int = SUBLANES,
 ):
     n_rows = dirs_soa.shape[1]
-    n_tiles = n_rows // SUBLANES
+    n_tiles = n_rows // sublanes
     n_chunks = boxes.shape[1]
     kernel = functools.partial(
-        _kernel_shared, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit
+        _kernel_shared, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit,
+        chunk=chunk, unroll=unroll, mode=mode, sublanes=sublanes,
     )
+    center = 0.5 * (boxes[:3] + boxes[3:])  # origin-relative (shared path)
+    # (1, NC): a 1-D SMEM operand's auto-batched block under vmap violates
+    # Mosaic's last-two-dims rule; with a leading unit dim the block equals
+    # the full array shape.
+    order = jnp.argsort(jnp.sum(center * center, axis=0)).astype(jnp.int32)[None, :]
     out_t, out_prim = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((3, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, sublanes, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sublanes, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(woop.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(boxes.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sublanes, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sublanes, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(dirs_soa, tmax_tiles, woop, boxes)
+    )(dirs_soa, tmax_tiles, woop, boxes, order)
     return out_t, out_prim
 
 
@@ -456,10 +485,16 @@ def intersect_pallas_shared(
     t_max: Array | float = 1e30,
     any_hit: bool = False,
     interpret: bool = False,
+    chunk: int | None = None,
+    unroll: int | None = None,
+    mode: str | None = None,
+    ray_tile: int | None = None,
 ):
     """Shared-origin closest/any-hit: origin (3,), d (N, 3) (t in units |d|)."""
-    woop, boxes = pack_triangles_woop(vertices, faces, origin)
-    dirs_soa, tmax_tiles, n = pack_dirs(d, t_max)
+    chunk = chunk or CHUNK
+    ray_tile = ray_tile or RAY_TILE
+    woop, boxes = pack_triangles_woop(vertices, faces, origin, chunk=chunk)
+    dirs_soa, tmax_tiles, n = pack_dirs(d, t_max, ray_tile=ray_tile)
     out_t, out_prim = _intersect_shared_packed(
         jax.lax.stop_gradient(dirs_soa),
         jax.lax.stop_gradient(tmax_tiles),
@@ -468,11 +503,15 @@ def intersect_pallas_shared(
         t_min,
         any_hit,
         interpret,
+        chunk=chunk,
+        unroll=unroll,
+        mode=mode,
+        sublanes=ray_tile // LANES,
     )
     return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret", "chunk", "unroll"))
 def _intersect_packed(
     rays_soa: Array,
     tmax_tiles: Array,
@@ -481,13 +520,16 @@ def _intersect_packed(
     t_min: float,
     any_hit: bool,
     interpret: bool,
+    chunk: int = CHUNK,
+    unroll: int | None = None,
 ):
     n_rows = rays_soa.shape[1]  # R / 128
     n_tiles = n_rows // SUBLANES
     n_chunks = boxes.shape[1]
 
     kernel = functools.partial(
-        _kernel, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit
+        _kernel, t_min=t_min, n_chunks=n_chunks, any_hit=any_hit,
+        chunk=chunk, unroll=unroll,
     )
     out_t, out_prim = pl.pallas_call(
         kernel,
@@ -523,6 +565,8 @@ def intersect_pallas(
     t_max: Array | float = 1e30,
     any_hit: bool = False,
     interpret: bool = False,
+    chunk: int | None = None,
+    unroll: int | None = None,
 ):
     """Closest-hit (or any-hit) query; returns (t (N,), prim (N,) int32).
 
@@ -530,7 +574,8 @@ def intersect_pallas(
     detached t); differentiable attributes come from
     intersect.hit_attributes.
     """
-    tri, boxes = pack_triangles(vertices, faces)
+    chunk = chunk or CHUNK
+    tri, boxes = pack_triangles(vertices, faces, chunk=chunk)
     rays_soa, tmax_tiles, n = pack_rays(o, d, t_max)
     out_t, out_prim = _intersect_packed(
         jax.lax.stop_gradient(rays_soa),
@@ -540,5 +585,7 @@ def intersect_pallas(
         t_min,
         any_hit,
         interpret,
+        chunk=chunk,
+        unroll=unroll,
     )
     return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]

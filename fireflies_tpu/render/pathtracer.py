@@ -226,16 +226,19 @@ def trace_rays(
             # direction is the unnormalized segment; t in (eps, 1 - eps)
             # excludes the endpoints (surface point already offset along n).
             seg_d = jax.lax.stop_gradient(shadow_o_l - positions[li][None, :])
-            blocked = occluded_any(
-                shadow_o_l,
-                seg_d,
-                scene.geometry,
-                t_min=1e-4,
-                t_max=1.0 - 1e-4,
-                tri_chunk=config.tri_chunk,
-                backend=config.backend,
-                shared_origin=positions[li],
-            )
+            if _os.environ.get("FF_SKIP_OCCL"):  # perf-bisection knob
+                blocked = jnp.zeros(seg_d.shape[0], bool)
+            else:
+                blocked = occluded_any(
+                    shadow_o_l,
+                    seg_d,
+                    scene.geometry,
+                    t_min=1e-4,
+                    t_max=1.0 - 1e-4,
+                    tri_chunk=config.tri_chunk,
+                    backend=config.backend,
+                    shared_origin=positions[li],
+                )
             f = bsdf_mod.evaluate(params, ns, wo, wi_l, tangent=tangent)
             cos_i = jnp.abs(jnp.sum(ns * wi_l, axis=-1))  # |cos|: f() gates the side
             contrib = throughput * f * rad_l * cos_i[:, None]
