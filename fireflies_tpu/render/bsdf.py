@@ -19,11 +19,18 @@ spec_trans, flatness.  Implemented lobes:
   * anisotropic GGX (Disney aspect split, Heitz Smith-G1) oriented by the
     UV-derived tangent frame when the mesh has UVs (arbitrary ONB otherwise)
 
+HOT-PATH LAYOUT: all internals are COMPONENT-WISE (render/vec3.py) — three
+(N,) arrays per vector instead of (N, 3).  Minor-dim-3 tensors materialize
+badly on TPU (measured 4.6x slower chains; the r2 path tracer moved ~900GB
+of HBM per step before this port).  The array-based public API converts at
+the boundary; the `*_v` entry points take/return Vec3 for callers already
+in component form (the path tracer).
+
 All functions are vectorized over N shading points with per-point parameter
 rows (gather `Materials` rows by mat_id first, see `gather_params`).
 Convention: `wo` points *away* from the surface toward the viewer, `wi`
-toward the light; both unit, world space; `n` is the shading normal.
-Returned values are BSDF f (without the |cos| factor).
+toward the light; both unit; `n` is the shading normal.  Returned values
+are BSDF f (without the |cos| factor).
 """
 
 from __future__ import annotations
@@ -32,6 +39,8 @@ import jax
 import jax.numpy as jnp
 
 from fireflies_tpu.render.types import Materials
+from fireflies_tpu.render.vec3 import Vec3, from_array
+from fireflies_tpu.render import vec3 as v3m
 
 Array = jax.Array
 
@@ -48,6 +57,15 @@ def gather_params(materials: Materials, mat_id: Array) -> dict[str, Array]:
     ).split():
         out[field] = getattr(materials, field)[mat_id]
     return out
+
+
+def _colv(params: dict, field: str) -> Vec3:
+    """Color field as Vec3 (cached in the dict under `<field>_v`)."""
+    key = field + "_v"
+    if key not in params:
+        val = params[field]
+        params[key] = from_array(val) if not isinstance(val, Vec3) else val
+    return params[key]
 
 
 def _eta_rel(params: dict[str, Array]) -> Array:
@@ -83,8 +101,8 @@ def _schlick(u: Array) -> Array:
     return m**5
 
 
-def _luminance(c: Array) -> Array:
-    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+def _luminance(c: Vec3) -> Array:
+    return 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
 
 
 def _aniso_alphas(params) -> tuple[Array, Array]:
@@ -127,29 +145,53 @@ def _g_smith_ggx(cos_v: Array, alpha: Array) -> Array:
     return 2.0 * cos_v / jnp.maximum(cos_v + jnp.sqrt(a2 + c2 - a2 * c2), _EPS)
 
 
-def evaluate(
-    params: dict[str, Array], n: Array, wo: Array, wi: Array,
-    tangent: Array | None = None,
-) -> Array:
-    """BSDF value f(wo, wi); (N, 3).
+def _onb(n: Vec3) -> tuple[Vec3, Vec3]:
+    """Orthonormal basis around n (Frisvad-style branchless)."""
+    sign = jnp.where(n.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n.z)
+    b = n.x * n.y * a
+    t = Vec3(1.0 + sign * n.x * n.x * a, sign * b, -sign * n.x)
+    bt = Vec3(b, sign + n.y * n.y * a, -n.y)
+    return t, bt
 
-    Reflection lobes for wi above the horizon; Disney-thin diffuse
-    transmission (spec_trans) for wi below: f = sqrt(base_color)/pi *
-    spec_trans * (1 - metallic) — the thin-surface translucency the
-    reference randomizes on mucosa (main.py:106)."""
-    cos_o_s = jnp.sum(n * wo, axis=-1)
-    cos_i_s = jnp.sum(n * wi, axis=-1)
+
+def _frame(n: Vec3, tangent: Vec3 | None) -> tuple[Vec3, Vec3]:
+    """Shading tangent frame: the provided (UV-derived) tangent
+    orthonormalized against n, else a deterministic ONB.  Without authored
+    tangents anisotropy has no meaningful orientation — callers should pass
+    hit_attributes' tangent when UVs exist."""
+    if tangent is None:
+        return _onb(n)
+    t = tangent - n * tangent.dot(n)
+    norm = t.norm()
+    t_onb, bt_onb = _onb(n)
+    ok = norm > 1e-6
+    t = v3m.where(ok, t * (1.0 / jnp.maximum(norm, 1e-12)), t_onb)
+    bt = n.cross(t)
+    return t, bt
+
+
+def _to_world(n: Vec3, t: Vec3, bt: Vec3, lx: Array, ly: Array, lz: Array) -> Vec3:
+    return t * lx + bt * ly + n * lz
+
+
+def evaluate_v(
+    params: dict[str, Array], n: Vec3, wo: Vec3, wi: Vec3,
+    tangent: Vec3 | None = None,
+) -> Vec3:
+    """BSDF value f(wo, wi) as a Vec3 of (N,) channels (component form)."""
+    cos_o_s = n.dot(wo)
+    cos_i_s = n.dot(wi)
     reflect_side = (cos_o_s > _EPS) & (cos_i_s > _EPS)
     trans_side = (cos_o_s > _EPS) & (cos_i_s < -_EPS)
     cos_o = jnp.maximum(jnp.abs(cos_o_s), _EPS)
     cos_i = jnp.maximum(jnp.abs(cos_i_s), _EPS)
 
-    h = wo + wi
-    h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-20)
-    cos_h = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
-    cos_d = jnp.maximum(jnp.sum(wi * h, axis=-1), 0.0)  # = dot(wo, h)
+    h = (wo + wi).normalized()
+    cos_h = jnp.maximum(n.dot(h), 0.0)
+    cos_d = jnp.maximum(wi.dot(h), 0.0)  # = dot(wo, h)
 
-    base = params["base_color"]
+    base = _colv(params, "base_color")
     rough = jnp.clip(params["roughness"], 0.01, 1.0)
     metallic = params["metallic"]
     flatness = params["flatness"]
@@ -167,36 +209,29 @@ def evaluate(
 
     diff_mix = diffuse * (1.0 - flatness) + ss * flatness
     diffuse_weight = (1.0 - metallic) * (1.0 - params["spec_trans"])
-    f_diffuse = (base / jnp.pi) * (diff_mix * diffuse_weight)[:, None]
+    f_diffuse = base * (diff_mix * diffuse_weight / jnp.pi)
 
     # ---- Sheen -----------------------------------------------------------
     lum = jnp.maximum(_luminance(base), _EPS)
-    tint = base / lum[:, None]
-    sheen_color = (1.0 - params["sheen_tint"])[:, None] + params["sheen_tint"][:, None] * tint
-    f_sheen = (
-        params["sheen"][:, None]
-        * sheen_color
-        * (_schlick(cos_d) * (1.0 - metallic))[:, None]
+    tint = base * (1.0 / lum)
+    sheen_color = tint * params["sheen_tint"] + (1.0 - params["sheen_tint"])
+    f_sheen = sheen_color * (
+        params["sheen"] * _schlick(cos_d) * (1.0 - metallic)
     )
 
     # ---- GGX specular (anisotropic-aware) ---------------------------------
-    spec_color = (1.0 - params["spec_tint"])[:, None] + params["spec_tint"][:, None] * tint
-    f0 = (
-        (0.08 * params["specular"])[:, None] * spec_color * (1.0 - metallic)[:, None]
-        + base * metallic[:, None]
-    )
-    fresnel = f0 + (1.0 - f0) * _schlick(cos_d)[:, None]
+    spec_color = tint * params["spec_tint"] + (1.0 - params["spec_tint"])
+    f0 = spec_color * (0.08 * params["specular"] * (1.0 - metallic)) + base * metallic
+    fresnel = f0 + (1.0 - f0) * _schlick(cos_d)
     ax, ay = _aniso_alphas(params)
     t, bt = _frame(n, tangent)
-    hx = jnp.sum(h * t, axis=-1)
-    hy = jnp.sum(h * bt, axis=-1)
+    hx = h.dot(t)
+    hy = h.dot(bt)
     d_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay)
-    g_spec = _g1_smith_aniso(
-        jnp.sum(wi * t, -1), jnp.sum(wi * bt, -1), cos_i, ax, ay
-    ) * _g1_smith_aniso(
-        jnp.sum(wo * t, -1), jnp.sum(wo * bt, -1), cos_o, ax, ay
+    g_spec = _g1_smith_aniso(wi.dot(t), wi.dot(bt), cos_i, ax, ay) * _g1_smith_aniso(
+        wo.dot(t), wo.dot(bt), cos_o, ax, ay
     )
-    f_specular = fresnel * (d_spec * g_spec / (4.0 * cos_i * cos_o))[:, None]
+    f_specular = fresnel * (d_spec * g_spec / (4.0 * cos_i * cos_o))
 
     # ---- Clearcoat -------------------------------------------------------
     alpha_cc = 0.1 * (1.0 - params["clearcoat_gloss"]) + 0.001 * params["clearcoat_gloss"]
@@ -205,9 +240,7 @@ def evaluate(
     g_cc = _g_smith_ggx(cos_i, jnp.full_like(alpha_cc, 0.25)) * _g_smith_ggx(
         cos_o, jnp.full_like(alpha_cc, 0.25)
     )
-    f_clearcoat = (0.25 * params["clearcoat"] * d_cc * f_cc * g_cc / (4.0 * cos_i * cos_o))[
-        :, None
-    ]
+    f_clearcoat = 0.25 * params["clearcoat"] * d_cc * f_cc * g_cc / (4.0 * cos_i * cos_o)
 
     # ---- Glass lobe (rough-dielectric, Walter/PBRT microfacet model) ------
     # Mitsuba `principled` parity: spec_trans on a non-thin surface is
@@ -221,97 +254,74 @@ def evaluate(
     glass_w = params["spec_trans"] * (1.0 - metallic) * (1.0 - thin)
     alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
 
-    # Reflection half of the glass lobe (shares h with the specular lobe).
     f_dielec = _fresnel_dielectric(cos_d, eta)
     d_g = _d_ggx(cos_h, alpha_g)
     g_g = _g_smith_ggx(cos_i, alpha_g) * _g_smith_ggx(cos_o, alpha_g)
-    f_glass_refl = (f_dielec * d_g * g_g / (4.0 * cos_i * cos_o))[:, None]
+    f_glass_refl = f_dielec * d_g * g_g / (4.0 * cos_i * cos_o)
 
     # Refraction half: wh_t = normalize(wo + eta * wi) flipped to the upper
     # hemisphere; radiance-transport factors cancel (eta^2 * (1/eta)^2).
-    wh_t = wo + eta[:, None] * wi
-    wh_t = wh_t / (jnp.linalg.norm(wh_t, axis=-1, keepdims=True) + 1e-20)
-    wh_t = wh_t * jnp.sign(jnp.sum(wh_t * n, axis=-1, keepdims=True) + 1e-20)
-    cos_wh = jnp.clip(jnp.sum(n * wh_t, axis=-1), 0.0, 1.0)
-    wo_wh = jnp.sum(wo * wh_t, axis=-1)
-    wi_wh = jnp.sum(wi * wh_t, axis=-1)
+    wh_t = (wo + wi * eta).normalized()
+    flip_s = jnp.sign(wh_t.dot(n) + 1e-20)
+    wh_t = wh_t * flip_s
+    cos_wh = jnp.clip(wh_t.dot(n), 0.0, 1.0)
+    wo_wh = wo.dot(wh_t)
+    wi_wh = wi.dot(wh_t)
     sqrt_denom = wo_wh + eta * wi_wh
     f_t_dielec = _fresnel_dielectric(jnp.abs(wo_wh), eta)
     d_t = _d_ggx(cos_wh, alpha_g)
-    g_t = _g_smith_ggx(cos_i, alpha_g) * _g_smith_ggx(cos_o, alpha_g)
-    t_tint = jnp.sqrt(jnp.maximum(base, 0.0))
+    g_t = g_g
+    t_tint = Vec3(
+        jnp.sqrt(jnp.maximum(base.x, 0.0)),
+        jnp.sqrt(jnp.maximum(base.y, 0.0)),
+        jnp.sqrt(jnp.maximum(base.z, 0.0)),
+    )
     # Physical refraction pairs straddle the half-vector (wo.h > 0,
     # wi.h < 0); the reconstruction is spurious otherwise.
     refr_ok = (wo_wh > _EPS) & (wi_wh < -_EPS)
-    f_glass_trans = (
-        t_tint
-        * jnp.where(
-            refr_ok,
-            (1.0 - f_t_dielec)
-            * d_t
-            * g_t
-            * jnp.abs(wi_wh)
-            * jnp.abs(wo_wh)
-            / jnp.maximum(cos_i * cos_o * sqrt_denom * sqrt_denom, _EPS),
-            0.0,
-        )[:, None]
+    glass_trans_scalar = jnp.where(
+        refr_ok,
+        (1.0 - f_t_dielec)
+        * d_t
+        * g_t
+        * jnp.abs(wi_wh)
+        * jnp.abs(wo_wh)
+        / jnp.maximum(cos_i * cos_o * sqrt_denom * sqrt_denom, _EPS),
+        0.0,
     )
+    f_glass_trans = t_tint * glass_trans_scalar
 
-    f = (
+    f_up = (
         f_diffuse
         + f_sheen
-        + f_specular * (1.0 - glass_w)[:, None]
+        + f_specular * (1.0 - glass_w)
         + f_clearcoat
-        + f_glass_refl * glass_w[:, None]
+        + f_glass_refl * glass_w
     )
 
     # ---- Thin diffuse transmission ----------------------------------------
     trans_weight = params["spec_trans"] * (1.0 - metallic)
-    f_thin = jnp.sqrt(jnp.maximum(base, 0.0)) / jnp.pi * (trans_weight * thin)[:, None]
-    f_trans = f_thin + f_glass_trans * glass_w[:, None]
+    f_thin = t_tint * (trans_weight * thin / jnp.pi)
+    f_down = f_thin + f_glass_trans * glass_w
 
-    return jnp.where(
-        reflect_side[:, None], f, jnp.where(trans_side[:, None], f_trans, 0.0)
-    )
+    zero = Vec3(jnp.zeros_like(cos_o), jnp.zeros_like(cos_o), jnp.zeros_like(cos_o))
+    return v3m.where(reflect_side, f_up, v3m.where(trans_side, f_down, zero))
+
+
+def evaluate(
+    params: dict[str, Array], n: Array, wo: Array, wi: Array,
+    tangent: Array | None = None,
+) -> Array:
+    """BSDF value f(wo, wi); (N, 3).  Array-API wrapper over evaluate_v."""
+    return evaluate_v(
+        params, from_array(n), from_array(wo), from_array(wi),
+        None if tangent is None else from_array(tangent),
+    ).to_array()
 
 
 # ---------------------------------------------------------------------------
 # Sampling
 # ---------------------------------------------------------------------------
-
-
-def _onb(n: Array):
-    """Orthonormal basis around n (Frisvad-style branchless)."""
-    sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
-    a = -1.0 / (sign + n[..., 2])
-    b = n[..., 0] * n[..., 1] * a
-    t = jnp.stack(
-        [1.0 + sign * n[..., 0] * n[..., 0] * a, sign * b, -sign * n[..., 0]], axis=-1
-    )
-    bt = jnp.stack([b, sign + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
-    return t, bt
-
-
-def _frame(n: Array, tangent: Array | None):
-    """Shading tangent frame: the provided (UV-derived) tangent
-    orthonormalized against n, else a deterministic ONB.  Without authored
-    tangents anisotropy has no meaningful orientation — callers should pass
-    hit_attributes' tangent when UVs exist."""
-    if tangent is None:
-        return _onb(n)
-    t = tangent - n * jnp.sum(tangent * n, axis=-1, keepdims=True)
-    norm = jnp.linalg.norm(t, axis=-1, keepdims=True)
-    t_onb, bt_onb = _onb(n)
-    ok = norm[:, 0] > 1e-6
-    t = jnp.where(ok[:, None], t / jnp.maximum(norm, 1e-12), t_onb)
-    bt = jnp.cross(n, t)
-    return t, bt
-
-
-def _to_world(n: Array, t: Array, bt: Array, local: Array) -> Array:
-    return (
-        local[..., 0:1] * t + local[..., 1:2] * bt + local[..., 2:3] * n
-    )
 
 
 def _lobe_probs(params) -> tuple[Array, Array, Array]:
@@ -324,11 +334,11 @@ def _lobe_probs(params) -> tuple[Array, Array, Array]:
     return p_d * scale, (1.0 - p_d) * scale, p_t
 
 
-def sample(
-    params: dict[str, Array], n: Array, wo: Array, key: Array,
-    tangent: Array | None = None,
-):
-    """Importance-sample wi; returns (wi, pdf, f).
+def sample_v(
+    params: dict[str, Array], n: Vec3, wo: Vec3, key: Array,
+    tangent: Vec3 | None = None,
+) -> tuple[Vec3, Array, Vec3]:
+    """Importance-sample wi; returns (wi, pdf, f) in component form.
 
     One stochastic lobe choice per point: cosine-hemisphere for diffuse,
     GGX-NDF for specular, and for the transmission lobe either the thin
@@ -337,7 +347,7 @@ def sample(
     pdf is the full mixture pdf so the estimator is unbiased regardless of
     the branch taken.
     """
-    n_pts = n.shape[0]
+    n_pts = n.x.shape[0]
     k_sel, k_a, k_b, k_c, k_d = jax.random.split(key, 5)
     u_sel = jax.random.uniform(k_sel, (n_pts,))
     u1 = jax.random.uniform(k_a, (n_pts,))
@@ -350,27 +360,20 @@ def sample(
     # Cosine-hemisphere sample.
     r = jnp.sqrt(u1)
     phi = 2.0 * jnp.pi * u2
-    local_diff = jnp.stack(
-        [r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))],
-        axis=-1,
+    wi_diff = _to_world(
+        n, t, bt, r * jnp.cos(phi), r * jnp.sin(phi),
+        jnp.sqrt(jnp.maximum(1.0 - u1, 0.0)),
     )
-    wi_diff = _to_world(n, t, bt, local_diff)
 
     # Anisotropic GGX half-vector sample (Heitz NDF parametrization;
     # reduces to isotropic GGX at anisotropic = 0).
     ax, ay = _aniso_alphas(params)
     stretch = jnp.sqrt(jnp.maximum(u1 / jnp.maximum(1.0 - u1, 1e-9), 0.0))
-    local_h = jnp.stack(
-        [
-            stretch * ax * jnp.cos(phi),
-            stretch * ay * jnp.sin(phi),
-            jnp.ones_like(u1),
-        ],
-        axis=-1,
-    )
-    local_h = local_h / jnp.linalg.norm(local_h, axis=-1, keepdims=True)
-    h = _to_world(n, t, bt, local_h)
-    wi_spec = 2.0 * jnp.sum(wo * h, axis=-1, keepdims=True) * h - wo
+    hx = stretch * ax * jnp.cos(phi)
+    hy = stretch * ay * jnp.sin(phi)
+    hnorm = jnp.sqrt(hx * hx + hy * hy + 1.0)
+    h = _to_world(n, t, bt, hx / hnorm, hy / hnorm, 1.0 / hnorm)
+    wi_spec = h * (2.0 * wo.dot(h)) - wo
 
     # Glass lobe: isotropic GGX half-vector, Fresnel-weighted branch.
     eta = _eta_rel(params)
@@ -379,55 +382,60 @@ def sample(
         jnp.clip((1.0 - u1) / (1.0 + (alpha_g * alpha_g - 1.0) * u1), 0.0, 1.0)
     )
     sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
-    local_hg = jnp.stack(
-        [sin_hg * jnp.cos(phi), sin_hg * jnp.sin(phi), cos_hg], axis=-1
-    )
-    hg = _to_world(n, t, bt, local_hg)
-    wo_hg = jnp.sum(wo * hg, axis=-1)
+    hg = _to_world(n, t, bt, sin_hg * jnp.cos(phi), sin_hg * jnp.sin(phi), cos_hg)
+    wo_hg = wo.dot(hg)
     # Work with the half-vector on wo's side (grazing samples can flip it).
-    hh = hg * jnp.sign(wo_hg + _EPS)[:, None]
+    hh = hg * jnp.sign(wo_hg + _EPS)
     c = jnp.abs(wo_hg)
     f_g = _fresnel_dielectric(c, eta)
-    wi_grefl = 2.0 * c[:, None] * hh - wo
+    wi_grefl = hh * (2.0 * c) - wo
     # Snell refraction about hh; TIR handled by f_g == 1 (reflect branch).
     sin2_t = jnp.maximum(1.0 - c * c, 0.0) / jnp.maximum(eta * eta, _EPS)
     cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-    wi_grefr = -wo / eta[:, None] + ((c / eta) - cos_t)[:, None] * hh
-    wi_grefr = wi_grefr / (jnp.linalg.norm(wi_grefr, axis=-1, keepdims=True) + 1e-20)
+    wi_grefr = ((-wo) * (1.0 / eta) + hh * ((c / eta) - cos_t)).normalized()
     take_refl = (u3 < f_g) | (sin2_t >= 1.0)
-    wi_glass = jnp.where(take_refl[:, None], wi_grefl, wi_grefr)
+    wi_glass = v3m.where(take_refl, wi_grefl, wi_grefr)
     # Thin vs glass within the transmission lobe.
     thin = jnp.clip(params["thin"], 0.0, 1.0)
-    wi_trans = jnp.where((u4 < thin)[:, None], -wi_diff, wi_glass)
+    wi_trans = v3m.where(u4 < thin, -wi_diff, wi_glass)
 
     p_d, p_s, p_t = _lobe_probs(params)
     take_trans = u_sel >= (p_d + p_s)
     take_diff = u_sel < p_d
-    wi = jnp.where(take_diff[:, None], wi_diff, wi_spec)
-    wi = jnp.where(take_trans[:, None], wi_trans, wi)
+    wi = v3m.where(take_diff, wi_diff, wi_spec)
+    wi = v3m.where(take_trans, wi_trans, wi)
 
-    pdf = pdf_fn(params, n, wo, wi, tangent=tangent)
-    f = evaluate(params, n, wo, wi, tangent=tangent)
+    pdf = pdf_v(params, n, wo, wi, tangent=tangent)
+    f = evaluate_v(params, n, wo, wi, tangent=tangent)
     return wi, pdf, f
 
 
-def pdf_fn(
-    params: dict[str, Array], n: Array, wo: Array, wi: Array,
+def sample(
+    params: dict[str, Array], n: Array, wo: Array, key: Array,
     tangent: Array | None = None,
+):
+    """Importance-sample wi; returns (wi, pdf, f).  Array-API wrapper."""
+    wi, pdf, f = sample_v(
+        params, from_array(n), from_array(wo), key,
+        None if tangent is None else from_array(tangent),
+    )
+    return wi.to_array(), pdf, f.to_array()
+
+
+def pdf_v(
+    params: dict[str, Array], n: Vec3, wo: Vec3, wi: Vec3,
+    tangent: Vec3 | None = None,
 ) -> Array:
-    """Mixture pdf of `sample` for MIS; (N,)."""
-    cos_i = jnp.sum(n * wi, axis=-1)
-    h = wo + wi
-    h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-20)
-    cos_h = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
-    cos_d = jnp.maximum(jnp.sum(wo * h, axis=-1), _EPS)
+    """Mixture pdf of `sample` for MIS; (N,).  Component form."""
+    cos_i = n.dot(wi)
+    h = (wo + wi).normalized()
+    cos_h = jnp.maximum(n.dot(h), 0.0)
+    cos_d = jnp.maximum(wo.dot(h), _EPS)
 
     ax, ay = _aniso_alphas(params)
     t, bt = _frame(n, tangent)
-    hx = jnp.sum(h * t, axis=-1)
-    hy = jnp.sum(h * bt, axis=-1)
     pdf_diff = jnp.maximum(cos_i, 0.0) / jnp.pi
-    pdf_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay) * cos_h / (4.0 * cos_d)
+    pdf_spec = _d_ggx_aniso(h.dot(t), h.dot(bt), cos_h, ax, ay) * cos_h / (4.0 * cos_d)
     pdf_thin = jnp.maximum(-cos_i, 0.0) / jnp.pi
 
     # Glass-lobe pdfs (isotropic GGX over the NDF, then the Fresnel branch).
@@ -439,12 +447,11 @@ def pdf_fn(
     pdf_grefl = _d_ggx(cos_h, alpha_g) * cos_h / (4.0 * cos_d) * f_h
     # Refraction branch: wh_t = normalize(wo + eta wi), Jacobian
     # dwh/dwi = eta^2 |wi.wh| / (wo.wh + eta wi.wh)^2.
-    wh_t = wo + eta[:, None] * wi
-    wh_t = wh_t / (jnp.linalg.norm(wh_t, axis=-1, keepdims=True) + 1e-20)
-    wh_t = wh_t * jnp.sign(jnp.sum(wh_t * n, axis=-1, keepdims=True) + 1e-20)
-    cos_wh = jnp.clip(jnp.sum(n * wh_t, axis=-1), 0.0, 1.0)
-    wo_wh = jnp.sum(wo * wh_t, axis=-1)
-    wi_wh = jnp.sum(wi * wh_t, axis=-1)
+    wh_t = (wo + wi * eta).normalized()
+    wh_t = wh_t * jnp.sign(wh_t.dot(n) + 1e-20)
+    cos_wh = jnp.clip(wh_t.dot(n), 0.0, 1.0)
+    wo_wh = wo.dot(wh_t)
+    wi_wh = wi.dot(wh_t)
     sqrt_denom = wo_wh + eta * wi_wh
     jac = eta * eta * jnp.abs(wi_wh) / jnp.maximum(sqrt_denom * sqrt_denom, _EPS)
     f_wh = _fresnel_dielectric(jnp.abs(wo_wh), eta)
@@ -473,3 +480,14 @@ def pdf_fn(
     pdf_up = p_d * pdf_diff + pdf_hv
     pdf_down = p_t * thin * pdf_thin + pdf_hv
     return jnp.where(cos_i > _EPS, pdf_up, jnp.where(cos_i < -_EPS, pdf_down, 0.0))
+
+
+def pdf_fn(
+    params: dict[str, Array], n: Array, wo: Array, wi: Array,
+    tangent: Array | None = None,
+) -> Array:
+    """Mixture pdf of `sample` for MIS; (N,).  Array-API wrapper."""
+    return pdf_v(
+        params, from_array(n), from_array(wo), from_array(wi),
+        None if tangent is None else from_array(tangent),
+    )

@@ -367,3 +367,138 @@ def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
         tangent = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
         out["tangent"] = tangent
     return out
+
+
+def hit_attributes_v(o, d, hit: Hit, geometry: Geometry):
+    """Component-form hit_attributes (render/vec3.py): o, d are Vec3; the
+    returned dict carries Vec3 for position/normal/tangent and (N,) arrays
+    otherwise.  Same math as hit_attributes; the component layout keeps the
+    TPU shading chain fused (minor-dim-3 tensors materialize badly)."""
+    from fireflies_tpu.render.vec3 import from_array
+
+    prim = jnp.maximum(hit.prim, 0)
+    faces = geometry.faces[prim]  # (N, 3)
+    # ONE (N, 3) gather per corner, then component slices: per-component
+    # gathers tripled the gather count and regressed the step 2x.
+    p0 = from_array(geometry.vertices[faces[:, 0]])
+    p1 = from_array(geometry.vertices[faces[:, 1]])
+    p2 = from_array(geometry.vertices[faces[:, 2]])
+    e1 = p1 - p0
+    e2 = p2 - p0
+
+    pvec = d.cross(e2)
+    det = e1.dot(pvec)
+    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    tvec = o - p0
+    u = tvec.dot(pvec) * inv_det
+    qvec = tvec.cross(e1)
+    v = d.dot(qvec) * inv_det
+    t = e2.dot(qvec) * inv_det
+
+    w = 1.0 - u - v
+    position = p0 * w + p1 * u + p2 * v
+    normal = e1.cross(e2).normalized()
+
+    out = {
+        "position": position,
+        "normal": normal,
+        "t": t,
+        "u": u,
+        "v": v,
+        "mat_id": geometry.face_mat[prim],
+        "mesh_id": geometry.face_mesh[prim],
+    }
+    if geometry.uvs is not None:
+        uv0 = geometry.uvs[faces[:, 0]]
+        uv1 = geometry.uvs[faces[:, 1]]
+        uv2 = geometry.uvs[faces[:, 2]]
+        u0x, u0y = uv0[:, 0], uv0[:, 1]
+        u1x, u1y = uv1[:, 0], uv1[:, 1]
+        u2x, u2y = uv2[:, 0], uv2[:, 1]
+        out["uv_x"] = w * u0x + u * u1x + v * u2x
+        out["uv_y"] = w * u0y + u * u1y + v * u2y
+        # UV-derived tangent (orients anisotropic BSDF lobes).
+        d1x, d1y = u1x - u0x, u1y - u0y
+        d2x, d2y = u2x - u0x, u2y - u0y
+        det_uv = d1x * d2y - d1y * d2x
+        inv = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / det_uv)
+        out["tangent"] = (e1 * d2y - e2 * d1y) * inv
+    return out
+
+
+def build_face_table(geometry: Geometry) -> Array:
+    """Per-face shading data packed into ONE (F, D) row table.
+
+    TPU gathers cost ~per-row regardless of row width (measured ~23 ms per
+    4M-row gather on v5e) — hit_attributes' separate faces/vertex/uv
+    gathers dominated the whole shading pass.  Packing every per-face
+    quantity into one row turns 4-6 big gathers per bounce into one.
+
+    Layout (D = 17): p0 (3), e1 (3), e2 (3), uv0 (2), duv1 (2), duv2 (2),
+    mat_id (1), mesh_id (1).  Differentiable w.r.t. vertices (built from
+    tiny F-row gathers); uv columns are zero when the mesh has no UVs.
+    """
+    v0 = geometry.vertices[geometry.faces[:, 0]]
+    v1 = geometry.vertices[geometry.faces[:, 1]]
+    v2 = geometry.vertices[geometry.faces[:, 2]]
+    cols = [v0, v1 - v0, v2 - v0]
+    if geometry.uvs is not None:
+        uv0 = geometry.uvs[geometry.faces[:, 0]]
+        uv1 = geometry.uvs[geometry.faces[:, 1]]
+        uv2 = geometry.uvs[geometry.faces[:, 2]]
+        cols += [uv0, uv1 - uv0, uv2 - uv0]
+    else:
+        zeros2 = jnp.zeros((geometry.faces.shape[0], 2), jnp.float32)
+        cols += [zeros2, zeros2, zeros2]
+    cols += [
+        geometry.face_mat[:, None].astype(jnp.float32),
+        geometry.face_mesh[:, None].astype(jnp.float32),
+    ]
+    return jnp.concatenate(cols, axis=1)  # (F, 17)
+
+
+def hit_attributes_table(o, d, hit: Hit, face_table: Array, has_uvs: bool):
+    """Component-form hit attributes from ONE face-table gather.
+
+    o, d: Vec3; returns the same dict as hit_attributes_v.  See
+    build_face_table for why this exists (TPU gather cost).
+    """
+    from fireflies_tpu.render.vec3 import Vec3
+
+    prim = jnp.maximum(hit.prim, 0)
+    row = face_table[prim]  # (N, 17) — the one big gather
+    p0 = Vec3(row[:, 0], row[:, 1], row[:, 2])
+    e1 = Vec3(row[:, 3], row[:, 4], row[:, 5])
+    e2 = Vec3(row[:, 6], row[:, 7], row[:, 8])
+
+    pvec = d.cross(e2)
+    det = e1.dot(pvec)
+    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    tvec = o - p0
+    u = tvec.dot(pvec) * inv_det
+    qvec = tvec.cross(e1)
+    v = d.dot(qvec) * inv_det
+    t = e2.dot(qvec) * inv_det
+
+    position = p0 + e1 * u + e2 * v
+    normal = e1.cross(e2).normalized()
+
+    out = {
+        "position": position,
+        "normal": normal,
+        "t": t,
+        "u": u,
+        "v": v,
+        "mat_id": row[:, 15].astype(jnp.int32),
+        "mesh_id": row[:, 16].astype(jnp.int32),
+    }
+    if has_uvs:
+        u0x, u0y = row[:, 9], row[:, 10]
+        d1x, d1y = row[:, 11], row[:, 12]
+        d2x, d2y = row[:, 13], row[:, 14]
+        out["uv_x"] = u0x + u * d1x + v * d2x
+        out["uv_y"] = u0y + u * d1y + v * d2y
+        det_uv = d1x * d2y - d1y * d2x
+        inv = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / det_uv)
+        out["tangent"] = (e1 * d2y - e2 * d1y) * inv
+    return out

