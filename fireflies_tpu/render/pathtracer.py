@@ -350,6 +350,32 @@ def trace_rays(
             wi, pdf, f = bsdf_mod.sample_v(
                 params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
             )
+            if config.reparam and config.reparam_indirect and bounce == 0:
+                # Warped-area reparameterization of the sampled direction:
+                # silhouettes of occluders seen from p become stationary in
+                # the gnomonic patch around wi, making one-bounce indirect
+                # visibility differentiable (render/reparam.py
+                # DirectionDomain).  Primal direction and throughput are
+                # exactly unchanged.
+                from fireflies_tpu.render.reparam import (  # noqa: PLC0415
+                    reparam_direction,
+                )
+
+                cos_pre = n.dot(wi)
+                side_pre = jnp.where(cos_pre >= 0, 1.0, -1.0)
+                x_ind = (p + n * (side_pre * _SHADOW_EPS)).to_array()
+                d_new, area_ind = reparam_direction(
+                    x_ind,
+                    wi.to_array(),
+                    scene.geometry,
+                    jax.random.fold_in(bkey, 11),
+                    k_aux=config.reparam_k_aux,
+                    radius=config.reparam_ind_radius,
+                    tri_chunk=config.tri_chunk,
+                    backend=config.backend,
+                )
+                wi = from_array(d_new)
+                throughput = throughput * area_ind
             cos_i_s = n.dot(wi)  # geometric side (offsets)
             cos_i = jnp.abs(ns.dot(wi))  # shading cosine
             safe_pdf = jnp.maximum(pdf, 1e-6)

@@ -214,6 +214,82 @@ def _screen_boundary(
     return best
 
 
+
+def _n_scout(k_aux: int) -> int:
+    return max(6, k_aux // 2)
+
+
+class CameraDomain:
+    """Warp domain over the camera's NDC film plane (the default)."""
+
+    def __init__(self, camera: Camera):
+        self._camera = camera
+        self.shared_origin = camera.to_world[:3, 3]
+
+    def rays(self, u_flat: Array):
+        return rays_from_ndc(self._camera, u_flat)
+
+    def project(self, pts: Array) -> Array:
+        return points_to_ndc(self._camera, pts)
+
+
+class DirectionDomain:
+    """Per-ray gnomonic tangent-plane domain around central directions.
+
+    For indirect (BSDF-sampled) bounces: each shading point x_i gets its own
+    2D coordinate patch u around its sampled direction w_i — direction(u) =
+    normalize(w + t u_x + b u_y) and project() is the matching gnomonic map.
+    A point u in this domain plays exactly the role NDC plays for the
+    camera, so the whole warped-area feature machinery applies unchanged
+    (silhouettes of occluders as seen FROM x become stationary).
+    """
+
+    def __init__(self, x: Array, w: Array, m: int):
+        # x (n, 3) origins, w (n, 3) unit central directions; m aux per ray.
+        n = x.shape[0]
+        self._m = m
+        # Frisvad ONB around w.
+        sign = jnp.where(w[:, 2] >= 0.0, 1.0, -1.0)
+        a = -1.0 / (sign + w[:, 2])
+        b_ = w[:, 0] * w[:, 1] * a
+        t = jnp.stack(
+            [1.0 + sign * w[:, 0] * w[:, 0] * a, sign * b_, -sign * w[:, 0]], -1
+        )
+        bt = jnp.stack([b_, sign + w[:, 1] * w[:, 1] * a, -w[:, 1]], -1)
+        rep = lambda v: jnp.broadcast_to(v[:, None, :], (n, m, 3)).reshape(-1, 3)
+        self._x = rep(x)
+        self._w = rep(w)
+        self._t = rep(t)
+        self._b = rep(bt)
+        self.shared_origin = None
+
+    def rays(self, u_flat: Array):
+        d = (
+            self._w
+            + self._t * u_flat[:, 0:1]
+            + self._b * u_flat[:, 1:2]
+        )
+        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-20)
+        return self._x, d
+
+    def direction(self, u: Array) -> Array:
+        """(n, 2) central-patch coords -> (n, 3) unit directions."""
+        n = u.shape[0]
+        t = self._t.reshape(n, self._m, 3)[:, 0]
+        b = self._b.reshape(n, self._m, 3)[:, 0]
+        w = self._w.reshape(n, self._m, 3)[:, 0]
+        d = w + t * u[:, 0:1] + b * u[:, 1:2]
+        return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-20)
+
+    def project(self, pts: Array) -> Array:
+        v = pts - self._x
+        z = jnp.sum(v * self._w, axis=-1)
+        z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+        return jnp.stack(
+            [jnp.sum(v * self._t, -1) / z, jnp.sum(v * self._b, -1) / z], -1
+        )
+
+
 def make_warp_field(
     camera: Camera,
     geometry: Geometry,
@@ -225,6 +301,7 @@ def make_warp_field(
     backend: str = "auto",
     light_positions: Array | None = None,
     debug: bool = False,
+    domain=None,
 ) -> Callable[[Array], Array]:
     """Build the screen-space warp V: NDC (N, 2) -> NDC velocities (N, 2).
 
@@ -244,14 +321,15 @@ def make_warp_field(
     follows the shadow's image motion — silhouettes of shadows get
     gradients just like primary silhouettes.
     """
-    origin = camera.to_world[:3, 3]
+    if domain is None:
+        domain = CameraDomain(camera)
     edge_open, nbrs = _edge_topology(geometry)  # (F, 3) in [v, w, u] edge order
 
     # Scouts: extra samples on a wider ring used ONLY to source triangle
     # ids for plane extension — they widen the information horizon so that
     # by the time a windowed feature gains weight, its plane id has been
     # available for a while (no onset jump).
-    n_scout = max(6, k_aux // 2)
+    n_scout = _n_scout(k_aux)
     win = 1.8 * radius  # feature window (screen units)
     # Reach bound: the scout ring must guarantee a feature's plane id is
     # found BEFORE any candidate's plane crossing comes within `win` of the
@@ -325,14 +403,15 @@ def make_warp_field(
         u_k = u[:, None, :] + offs  # (N, M, 2), live in u
         u_flat = u_k.reshape(-1, 2)
 
-        o_flat, d_flat = rays_from_ndc(camera, u_flat)
+        o_flat, d_flat = domain.rays(u_flat)
+        so = domain.shared_origin
         hit = closest_hit(
             o_flat,
             jax.lax.stop_gradient(d_flat),
             geometry,
             tri_chunk=tri_chunk,
             backend=backend,
-            shared_origin=jax.lax.stop_gradient(origin),
+            shared_origin=None if so is None else jax.lax.stop_gradient(so),
         )
         hit = jax.tree.map(jax.lax.stop_gradient, hit)
 
@@ -340,14 +419,13 @@ def make_warp_field(
         valid = hit.valid.reshape(n, m)
         prim = jnp.maximum(hit.prim, 0)
 
-        def cam_project(pts):
-            return points_to_ndc(camera, pts)
+        cam_project = domain.project
 
         # ---- carrier feature: surface hit (own plane) or stationary --------
         own = _plane_eval(o_flat, d_flat, prim, geometry, geo_det, edge_open)
-        ndc0 = points_to_ndc(camera, own["x"])[:, :2].reshape(n, m, 2)
+        ndc0 = domain.project(own["x"])[:, :2].reshape(n, m, 2)
         own_b = _screen_boundary(
-            own, cam_project, points_to_ndc(camera, own["x_det"]), win,
+            own, cam_project, domain.project(own["x_det"]), win,
             geo_det, edge_open, nbrs, prim,
         ).reshape(n, m)
         val0 = jnp.where(valid[..., None], ndc0, u_k)
@@ -413,9 +491,9 @@ def make_warp_field(
                 & valid_j[:, None]
                 & (ext["t"].reshape(n, m) > 1e-4)
             )
-            ndc1 = points_to_ndc(camera, ext["x"])[:, :2].reshape(n, m, 2)
+            ndc1 = domain.project(ext["x"])[:, :2].reshape(n, m, 2)
             fbnd = _screen_boundary(
-                ext, cam_project, points_to_ndc(camera, ext["x_det"]), win,
+                ext, cam_project, domain.project(ext["x_det"]), win,
                 geo_det, edge_open, nbrs, ext_prim,
             ).reshape(n, m)
             return add_feature(ndc1, fbnd, ok_ext, acc), None
@@ -475,9 +553,8 @@ def make_warp_field(
                         * jax.lax.stop_gradient(x_flat - lpos[None, :]),
                         axis=-1,
                     ) / den
-                    return points_to_ndc(
-                        camera,
-                        jax.lax.stop_gradient(lpos[None, :] + tq[:, None] * dq),
+                    return domain.project(
+                        jax.lax.stop_gradient(lpos[None, :] + tq[:, None] * dq)
                     )
 
                 # One shadow feature PER AUX BLOCKER PLANE (same no-squeeze
@@ -510,7 +587,7 @@ def make_warp_field(
                         n_recv * (x_flat - lpos[None, :]), axis=-1
                     ) / safe
                     x_s = lpos[None, :] + t_s[:, None] * d_s
-                    ndc_s = points_to_ndc(camera, x_s)[:, :2].reshape(n, m, 2)
+                    ndc_s = domain.project(x_s)[:, :2].reshape(n, m, 2)
 
                     # Boundary metric point: theta-detached but LIVE in the
                     # sample position (x_det carries live-ray barycentrics
@@ -526,8 +603,8 @@ def make_warp_field(
                         * (x_flat_det - lpos[None, :]),
                         axis=-1,
                     ) / den_det
-                    p_det = points_to_ndc(
-                        camera, lpos[None, :] + tq_det[:, None] * dq_det
+                    p_det = domain.project(
+                        lpos[None, :] + tq_det[:, None] * dq_det
                     )
                     fbnd_s = _screen_boundary(
                         sb, shadow_project, p_det, win,
@@ -606,6 +683,40 @@ def reparam_ndc(
         camera, geometry, key, k_aux=k_aux, radius=radius, kappa=kappa,
         tri_chunk=tri_chunk, backend=backend, light_positions=light_positions,
     )
+    return _apply_warp(warp, u)
+
+
+def reparam_direction(
+    x: Array,
+    w: Array,
+    geometry: Geometry,
+    key: Array,
+    k_aux: int = 6,
+    radius: float = 0.15,
+    kappa: float = 4.0,
+    tri_chunk: int = 512,
+    backend: str = "auto",
+):
+    """Warped-area reparameterization of per-ray DIRECTIONS.
+
+    x (N, 3): ray origins (primary hit points, offset off the surface);
+    w (N, 3): unit central directions (the BSDF samples).  Returns
+    (d', area): unit directions primally equal to w whose gradients carry
+    the motion of occluder silhouettes as seen from x, plus the gnomonic
+    area factor (primal exactly 1).  This is the indirect-bounce analog of
+    reparam_ndc (Mitsuba capability: reparameterized integrators behind
+    reference main.py:6)."""
+    domain = DirectionDomain(x, w, k_aux + _n_scout(k_aux))
+    warp = make_warp_field(
+        None, geometry, key, k_aux=k_aux, radius=radius, kappa=kappa,
+        tri_chunk=tri_chunk, backend=backend, domain=domain,
+    )
+    u0 = jnp.zeros((x.shape[0], 2), jnp.float32)
+    u_new, area = _apply_warp(warp, u0)
+    return domain.direction(u_new), area
+
+
+def _apply_warp(warp, u: Array):
     u_det = jax.lax.stop_gradient(u)
 
     ex = jnp.broadcast_to(jnp.array([1.0, 0.0], jnp.float32), u_det.shape)

@@ -243,3 +243,10 @@ class RenderConfig(struct.PyTreeNode):
     reparam: bool = struct.field(pytree_node=False, default=False)
     reparam_k_aux: int = struct.field(pytree_node=False, default=8)
     reparam_radius: float = struct.field(pytree_node=False, default=0.05)
+    # Warped-area reparameterization of the first BSDF-sampled (indirect)
+    # bounce: silhouettes of occluders as seen from the primary hit become
+    # differentiable (DirectionDomain in render/reparam.py).  Only active
+    # together with `reparam`; costs ~3x reparam_k_aux extra secondary
+    # traversals per sample.
+    reparam_indirect: bool = struct.field(pytree_node=False, default=False)
+    reparam_ind_radius: float = struct.field(pytree_node=False, default=0.15)

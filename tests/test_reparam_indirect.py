@@ -1,0 +1,110 @@
+"""Warped-area INDIRECT-silhouette gradients (DirectionDomain).
+
+The last visibility-gradient regime: silhouettes of occluders as seen from
+a secondary shading point.  Scene built so the gradient is carried ONLY by
+the indirect reparameterization:
+
+  camera at origin (fov 60, looking -z) sees a diffuse receiver at z = -2;
+  an emissive panel at z = +1 is behind the camera (never visible, no
+  emissive_faces -> no area-NEE: reachable only via BSDF-sampled bounce
+  rays); a blocker at z = -0.5, x in [dx+1.0, dx+2.0] sits OUTSIDE the
+  camera frustum (half-width 0.29 at that depth) but shadows the
+  receiver's view of the panel.  No delta lights.
+
+Moving the blocker changes only one-bounce indirect visibility: the
+detached renderer's gradient is exactly zero, the primary-NDC warp sees
+nothing (the blocker is never on screen), and shadow features are off.
+Reference: central finite differences of the primal with common random
+numbers (the shadow-test recipe).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fireflies_tpu.render import RenderConfig
+from fireflies_tpu.render.pathtracer import render_rgb
+from fireflies_tpu.render.types import (
+    Camera, Geometry, Lights, Materials, RenderScene,
+)
+
+FOV = 60.0
+E = 8.0  # panel emission
+RHO = 0.8
+
+
+def _scene(dx):
+    b = 2.5
+    rv = jnp.asarray(  # receiver, z = -2, facing +z
+        [[-b, -b, -2.0], [b, -b, -2.0], [b, b, -2.0], [-b, b, -2.0]], jnp.float32
+    )
+    pv = jnp.asarray(  # emissive panel, z = +1, facing -z (toward receiver)
+        [[-6.0, -6.0, 1.0], [6.0, -6.0, 1.0], [6.0, 6.0, 1.0], [-6.0, 6.0, 1.0]],
+        jnp.float32,
+    )
+    bv = jnp.asarray(  # blocker, z = -0.5, outside the camera frustum
+        [[1.0, -1.0, -0.5], [2.0, -1.0, -0.5], [2.0, 1.0, -0.5], [1.0, 1.0, -0.5]],
+        jnp.float32,
+    ) + jnp.stack([dx, jnp.zeros_like(dx), jnp.zeros_like(dx)])[None, :]
+    verts = jnp.concatenate([rv, pv, bv])
+    faces = jnp.asarray(
+        [[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6], [8, 9, 10], [8, 10, 11]],
+        jnp.int32,
+    )
+    geo = Geometry(
+        vertices=verts, faces=faces,
+        face_mat=jnp.asarray([0, 0, 1, 1, 0, 0], jnp.int32),
+        face_mesh=jnp.asarray([0, 0, 1, 1, 2, 2], jnp.int32),
+    )
+    mats = Materials.default(2).replace(
+        base_color=jnp.asarray([[RHO, RHO, RHO], [0.0, 0.0, 0.0]], jnp.float32),
+        specular=jnp.zeros(2),
+        roughness=jnp.ones(2),
+        emission=jnp.asarray([[0.0, 0.0, 0.0], [E, E, E]], jnp.float32),
+    )
+    return RenderScene(
+        geometry=geo, materials=mats, lights=Lights.empty(),
+        camera=Camera.create(jnp.eye(4), fov=FOV),
+    )
+
+
+def _fd_reference(dx0=0.0, h=0.15, res=48, spp=8, seeds=4):
+    cfg = RenderConfig(width=res, height=res, spp=spp, max_bounces=2, tri_chunk=16)
+
+    def mean_img(dx, s):
+        return float(
+            jnp.mean(render_rgb(_scene(jnp.asarray(dx)), jax.random.key(s), cfg)[..., 0])
+        )
+
+    fds = [
+        (mean_img(dx0 + h, s) - mean_img(dx0 - h, s)) / (2 * h) for s in range(seeds)
+    ]
+    return float(np.mean(fds)), fds
+
+
+def test_detached_renderer_zero_indirect_gradient():
+    cfg = RenderConfig(width=32, height=32, spp=2, max_bounces=2, tri_chunk=16)
+
+    def loss(dx):
+        return jnp.mean(render_rgb(_scene(dx), jax.random.key(0), cfg)[..., 0])
+
+    g = float(jax.grad(loss)(jnp.asarray(0.0)))
+    assert abs(g) < 1e-7
+
+
+def test_indirect_silhouette_gradient_matches_fd():
+    ref, fds = _fd_reference()
+    assert ref > 1e-3  # moving the blocker +x unshadows frame-center receiver
+    cfg = RenderConfig(
+        width=48, height=48, spp=4, max_bounces=2, tri_chunk=16,
+        reparam=True, reparam_indirect=True, reparam_k_aux=8,
+        reparam_ind_radius=0.3,
+    )
+
+    def loss(dx, s):
+        return jnp.mean(render_rgb(_scene(dx), jax.random.key(s), cfg)[..., 0])
+
+    grads = [float(jax.grad(loss)(jnp.asarray(0.0), s)) for s in range(3)]
+    g = float(np.mean(grads))
+    assert g == pytest.approx(ref, rel=0.35), (g, ref, fds, grads)

@@ -135,3 +135,40 @@ def test_shadow_boundary_gradient_matches_analytic():
     grads = [_mean_grad(dx0, seed=s) for s in range(2)]
     g = float(np.mean(grads))
     assert g == pytest.approx(ref, rel=0.25), (g, ref, grads)
+
+
+def test_pure_pose_recovery_with_reparam_only():
+    """VERDICT r1 item 3 done-criterion: a pose recovery driven ONLY by
+    warped-area reparam gradients (no soft-silhouette hybrid).  The occluder
+    starts offset; gradient descent on the L1 image loss must move it to the
+    target pose using render_rgb(reparam=True) gradients alone."""
+    import optax
+
+    cfg = RenderConfig(
+        width=48, height=48, spp=1, max_bounces=1, tri_chunk=16,
+        reparam=True, reparam_k_aux=8, reparam_radius=0.08,
+    )
+    dx_target = 0.3
+    target = jax.lax.stop_gradient(
+        render_rgb(_scene(jnp.asarray(dx_target)), jax.random.key(99), cfg)
+    )
+
+    def loss(dx, seed):
+        img = render_rgb(_scene(dx), jax.random.key(seed), cfg)
+        return jnp.mean(jnp.abs(img - target))
+
+    def mean_grad(dx, step):
+        gs = [jax.grad(loss)(dx, 3 * step + j) for j in range(3)]
+        return (gs[0] + gs[1] + gs[2]) / 3.0
+
+    opt = optax.adam(4e-2)
+    dx = jnp.asarray(0.62)
+    state = opt.init(dx)
+    grad_fn = jax.jit(mean_grad)
+    traj = []
+    for i in range(50):
+        g = grad_fn(dx, i)
+        updates, state = opt.update(g, state)
+        dx = optax.apply_updates(dx, updates)
+        traj.append(float(dx))
+    assert abs(float(dx) - dx_target) < 0.08, traj[::5]
