@@ -29,6 +29,7 @@ from fireflies_tpu.render.rays import (
     camera_rays_tiled,
     ndc_to_pixel,
     points_to_ndc,
+    unpermute_rows,
 )
 from fireflies_tpu.render.types import RenderConfig, RenderScene
 
@@ -44,7 +45,9 @@ def render_depth(
         o, d, scene.geometry, tri_chunk=config.tri_chunk, backend=config.backend,
         shared_origin=scene.camera.to_world[:3, 3],
     )
-    depth = jnp.where(hit.valid, hit.t, 0.0)[inv_perm]
+    depth = unpermute_rows(
+        jnp.where(hit.valid, hit.t, 0.0), inv_perm, config.width, config.height
+    )
     return depth.reshape(config.height, config.width)
 
 
@@ -59,7 +62,10 @@ def render_depth_differentiable(
     )
     hit = jax.tree.map(jax.lax.stop_gradient, hit)
     attrs = hit_attributes(o, d, hit, scene.geometry)
-    depth = jnp.where(hit.valid, attrs["t"], 0.0)[inv_perm]
+    depth = unpermute_rows(
+        jnp.where(hit.valid, attrs["t"], 0.0), inv_perm, config.width,
+        config.height,
+    )
     return depth.reshape(config.height, config.width)
 
 
@@ -72,7 +78,9 @@ def render_segmentation(scene: RenderScene, config: RenderConfig) -> Array:
     )
     prim = jnp.maximum(hit.prim, 0)
     mesh_id = scene.geometry.face_mesh[prim] + 1
-    seg = jnp.where(hit.valid, mesh_id, 0)[inv_perm]
+    seg = unpermute_rows(
+        jnp.where(hit.valid, mesh_id, 0), inv_perm, config.width, config.height
+    )
     return seg.reshape(config.height, config.width).astype(jnp.int32)
 
 

@@ -181,11 +181,27 @@ def occluded(
     return blocked
 
 
-# The Pallas kernels keep the triangle SoA in SMEM (scalar-indexable);
-# measured capacity on v5e tops out between 12k and 16k faces (x12 f32
-# components for the Woop variant).  Larger scenes fall back to the pure-JAX
-# scan until HBM->SMEM streaming lands (roadmap).
-PALLAS_MAX_TRIS = int(__import__("os").environ.get("FF_PALLAS_MAX_TRIS", 8192))
+# The Pallas kernels keep the triangle SoA in SMEM (scalar-indexable); v5e
+# SMEM is 1 MiB (measured via compiler OOM dumps), so the 12-row f32 Woop
+# table caps out near 20k faces (12 x Tpad x 4B <= ~960 KiB after the box /
+# list tables).  Larger scenes use the HBM-streamed kernels.
+PALLAS_MAX_TRIS = int(__import__("os").environ.get("FF_PALLAS_MAX_TRIS", 16384))
+
+# Tile-culled shared-origin kernels (intersect_culled.py): per-tile cluster
+# lists built by a conservative XLA cone/AABB pass.  Default ON for the
+# coherent passes; FF_NO_TILE_CULL=1 restores the slab-scan kernels.
+# Measured (v5e, 512x512 primary): 1.5x at 1.4k faces, 2.35x at 11.5k,
+# 2.2x (streamed) at 51k.
+_TILE_CULL = __import__("os").environ.get("FF_NO_TILE_CULL") is None
+_CULL_CHUNK = int(__import__("os").environ.get("FF_CULL_CHUNK", 16))
+# General (per-ray-origin, incoherent-direction) passes: a tile's direction
+# box spans the sphere, so conservative culling lists ~everything — but the
+# per-tile FRONT-TO-BACK order still feeds the best-t clip.  Measured: wash
+# at 1.4k faces, worthwhile at 10k+.  Threshold + chunk:
+_GEN_CULL_MIN_FACES = int(
+    __import__("os").environ.get("FF_GEN_CULL_MIN_FACES", 4096)
+)
+_GEN_CULL_CHUNK = int(__import__("os").environ.get("FF_GEN_CULL_CHUNK", 64))
 
 
 def _use_pallas(backend: str, n_faces: int) -> bool:
@@ -223,9 +239,28 @@ def closest_hit(
         )
 
         if shared_origin is not None:
-            t, prim = intersect_pallas_shared(
-                shared_origin, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max,
+            if _TILE_CULL:
+                from fireflies_tpu.render.pallas.intersect_culled import (  # noqa: PLC0415
+                    intersect_pallas_shared_culled,
+                )
+
+                t, prim = intersect_pallas_shared_culled(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max, chunk=_CULL_CHUNK,
+                )
+            else:
+                t, prim = intersect_pallas_shared(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max,
+                )
+        elif _TILE_CULL and n_faces >= _GEN_CULL_MIN_FACES:
+            from fireflies_tpu.render.pallas.intersect_culled import (  # noqa: PLC0415
+                intersect_pallas_general_culled,
+            )
+
+            t, prim = intersect_pallas_general_culled(
+                o, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max, chunk=_GEN_CULL_CHUNK,
             )
         else:
             t, prim = intersect_pallas(
@@ -242,10 +277,20 @@ def closest_hit(
         )
 
         if shared_origin is not None:
-            t, prim = intersect_pallas_streamed(
-                shared_origin, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max,
-            )
+            if _TILE_CULL:
+                from fireflies_tpu.render.pallas.intersect_stream import (  # noqa: PLC0415
+                    intersect_pallas_streamed_culled,
+                )
+
+                t, prim = intersect_pallas_streamed_culled(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max,
+                )
+            else:
+                t, prim = intersect_pallas_streamed(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max,
+                )
         else:
             t, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
@@ -281,9 +326,30 @@ def occluded_any(
         )
 
         if shared_origin is not None:
-            _, prim = intersect_pallas_shared(
-                shared_origin, d, geometry.vertices, geometry.faces,
+            if _TILE_CULL:
+                from fireflies_tpu.render.pallas.intersect_culled import (  # noqa: PLC0415
+                    intersect_pallas_shared_culled,
+                )
+
+                _, prim = intersect_pallas_shared_culled(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max, any_hit=any_hit,
+                    chunk=_CULL_CHUNK,
+                )
+            else:
+                _, prim = intersect_pallas_shared(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max, any_hit=any_hit,
+                )
+        elif _TILE_CULL and n_faces >= _GEN_CULL_MIN_FACES:
+            from fireflies_tpu.render.pallas.intersect_culled import (  # noqa: PLC0415
+                intersect_pallas_general_culled,
+            )
+
+            _, prim = intersect_pallas_general_culled(
+                o, d, geometry.vertices, geometry.faces,
                 t_min=t_min, t_max=t_max, any_hit=any_hit,
+                chunk=_GEN_CULL_CHUNK,
             )
         else:
             _, prim = intersect_pallas(
@@ -298,10 +364,20 @@ def occluded_any(
         )
 
         if shared_origin is not None:
-            _, prim = intersect_pallas_streamed(
-                shared_origin, d, geometry.vertices, geometry.faces,
-                t_min=t_min, t_max=t_max, any_hit=any_hit,
-            )
+            if _TILE_CULL:
+                from fireflies_tpu.render.pallas.intersect_stream import (  # noqa: PLC0415
+                    intersect_pallas_streamed_culled,
+                )
+
+                _, prim = intersect_pallas_streamed_culled(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max, any_hit=any_hit,
+                )
+            else:
+                _, prim = intersect_pallas_streamed(
+                    shared_origin, d, geometry.vertices, geometry.faces,
+                    t_min=t_min, t_max=t_max, any_hit=any_hit,
+                )
         else:
             _, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces,

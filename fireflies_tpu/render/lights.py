@@ -19,7 +19,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from fireflies_tpu.render.texture import bilinear_sample
+from fireflies_tpu.render.texture import bilinear_sample, bilinear_sample_packed
 from fireflies_tpu.render.types import LIGHT_POINT, LIGHT_SPOT, Lights, Projector
 from fireflies_tpu.render.vec3 import Vec3, from_array, splat
 from fireflies_tpu.render import vec3 as v3m
@@ -52,8 +52,12 @@ def eval_light_v(lights: Lights, index: int, p: Vec3):
     return wi, dist, radiance * scale
 
 
-def eval_projector_v(projector: Projector, p: Vec3):
-    """Component-form eval_projector (see eval_projector)."""
+def eval_projector_v(projector: Projector, p: Vec3, tex_table: Array | None = None):
+    """Component-form eval_projector (see eval_projector).
+
+    `tex_table` (optional): pack_neighborhood_table(projector.texture) — the
+    hot path passes it so the texture lookup costs ONE gather instead of 4
+    (TPU gathers are per-row bound; see texture.py)."""
     to_world = projector.to_world
     pos = splat(to_world[:3, 3])
     delta = pos - p
@@ -73,7 +77,11 @@ def eval_projector_v(projector: Projector, p: Vec3):
     ndc_y = vy / (safe * tan_half)
 
     uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
-    tex = from_array(bilinear_sample(projector.texture, uv))
+    if tex_table is not None:
+        h, w = projector.texture.shape[0], projector.texture.shape[1]
+        tex = from_array(bilinear_sample_packed(tex_table, h, w, uv))
+    else:
+        tex = from_array(bilinear_sample(projector.texture, uv))
 
     in_frustum = (
         (depth > projector.near)
@@ -86,7 +94,12 @@ def eval_projector_v(projector: Projector, p: Vec3):
     return wi, dist, radiance
 
 
-def total_incident_v(lights: Lights, projector: Optional[Projector], p: Vec3):
+def total_incident_v(
+    lights: Lights,
+    projector: Optional[Projector],
+    p: Vec3,
+    proj_tex_table: Array | None = None,
+):
     """Component-form total_incident: lists of (Vec3, (N,), Vec3)."""
     acc_wi, acc_dist, acc_rad = [], [], []
     for i in range(lights.count):
@@ -95,7 +108,7 @@ def total_incident_v(lights: Lights, projector: Optional[Projector], p: Vec3):
         acc_dist.append(dist)
         acc_rad.append(rad)
     if projector is not None:
-        wi, dist, rad = eval_projector_v(projector, p)
+        wi, dist, rad = eval_projector_v(projector, p, tex_table=proj_tex_table)
         acc_wi.append(wi)
         acc_dist.append(dist)
         acc_rad.append(rad)

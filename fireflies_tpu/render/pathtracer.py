@@ -36,8 +36,17 @@ from fireflies_tpu.render.intersect import (
     hit_attributes_table,
     occluded_any,
 )
-from fireflies_tpu.render.rays import camera_rays, camera_rays_tiled
-from fireflies_tpu.render.texture import bilinear_sample_stack
+from fireflies_tpu.render.rays import (
+    camera_rays,
+    camera_rays_tiled,
+    unpermute_rows,
+)
+from fireflies_tpu.render.texture import (
+    bilinear_sample_stack,
+    bilinear_sample_stack_packed,
+    pack_neighborhood_stack,
+    pack_neighborhood_table,
+)
 from fireflies_tpu.render.types import RenderConfig, RenderScene
 from fireflies_tpu.render.vec3 import Vec3, from_array, splat
 
@@ -53,7 +62,29 @@ def _attrs_uv(attrs: dict) -> Array | None:
     return jnp.stack([attrs["uv_x"], attrs["uv_y"]], axis=-1)
 
 
-def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
+def _pack_textures(scene: RenderScene) -> dict:
+    """Precompute 2x2-neighborhood tables for every texture the trace will
+    sample (one per render, amortized over bounces): TPU gathers are
+    per-row bound, so each bilinear site drops from 4 gathers to 1."""
+    packs = {}
+    mats = scene.materials
+    if scene.projector is not None and scene.projector.texture is not None:
+        packs["proj"] = pack_neighborhood_table(scene.projector.texture)
+    if mats.textures is not None:
+        packs["base"] = pack_neighborhood_stack(mats.textures)
+        packs["base_hw"] = mats.textures.shape[1:3]
+    if mats.roughness_tex is not None:
+        packs["rough"] = pack_neighborhood_stack(mats.roughness_tex)
+        packs["rough_hw"] = mats.roughness_tex.shape[1:3]
+    if mats.normal_tex is not None:
+        packs["normal"] = pack_neighborhood_stack(mats.normal_tex)
+        packs["normal_hw"] = mats.normal_tex.shape[1:3]
+    return packs
+
+
+def _shading_base_color(
+    scene: RenderScene, params: dict, attrs: dict, packs: dict | None = None
+) -> dict:
     """Override base_color / roughness with texture lookups where materials
     carry maps (Mitsuba: textured `base_color` / `roughness` on the
     principled BSDF, reference main.py:127-136).  Component-attr version."""
@@ -63,7 +94,13 @@ def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
         return params
     out = params
     if mats.textures is not None:
-        tex_color = bilinear_sample_stack(mats.textures, attrs["mat_id"], uv)
+        if packs is not None and "base" in packs:
+            h, w = packs["base_hw"]
+            tex_color = bilinear_sample_stack_packed(
+                packs["base"], h, w, attrs["mat_id"], uv
+            )
+        else:
+            tex_color = bilinear_sample_stack(mats.textures, attrs["mat_id"], uv)
         has_tex = mats.has_texture[attrs["mat_id"]]
         out = dict(out)
         out["base_color"] = jnp.where(
@@ -71,16 +108,24 @@ def _shading_base_color(scene: RenderScene, params: dict, attrs: dict) -> dict:
         )
         out.pop("base_color_v", None)  # invalidate the cached component form
     if mats.roughness_tex is not None:
-        tex_rough = bilinear_sample_stack(
-            mats.roughness_tex, attrs["mat_id"], uv
-        )[:, 0]
+        if packs is not None and "rough" in packs:
+            h, w = packs["rough_hw"]
+            tex_rough = bilinear_sample_stack_packed(
+                packs["rough"], h, w, attrs["mat_id"], uv
+            )[:, 0]
+        else:
+            tex_rough = bilinear_sample_stack(
+                mats.roughness_tex, attrs["mat_id"], uv
+            )[:, 0]
         has_r = mats.has_roughness_tex[attrs["mat_id"]]
         out = dict(out)
         out["roughness"] = jnp.where(has_r, tex_rough, out["roughness"])
     return out
 
 
-def _shading_normal(scene: RenderScene, attrs: dict, n: Vec3) -> Vec3:
+def _shading_normal(
+    scene: RenderScene, attrs: dict, n: Vec3, packs: dict | None = None
+) -> Vec3:
     """Tangent-space normal mapping (Mitsuba `normalmap` BSDF wrapper):
     ns = normalize(T x + B y + N z) with (x, y, z) = 2 rgb - 1, using the
     UV-derived tangent from hit_attributes.  Falls back to the geometric
@@ -90,7 +135,13 @@ def _shading_normal(scene: RenderScene, attrs: dict, n: Vec3) -> Vec3:
     uv = _attrs_uv(attrs)
     if mats.normal_tex is None or uv is None or "tangent" not in attrs:
         return n
-    rgb = bilinear_sample_stack(mats.normal_tex, attrs["mat_id"], uv)
+    if packs is not None and "normal" in packs:
+        h, w = packs["normal_hw"]
+        rgb = bilinear_sample_stack_packed(
+            packs["normal"], h, w, attrs["mat_id"], uv
+        )
+    else:
+        rgb = bilinear_sample_stack(mats.normal_tex, attrs["mat_id"], uv)
     lx, ly, lz = 2.0 * rgb[:, 0] - 1.0, 2.0 * rgb[:, 1] - 1.0, 2.0 * rgb[:, 2] - 1.0
     t_raw = attrs["tangent"]
     # Gram-Schmidt against the (flipped) shading-side geometric normal.
@@ -141,6 +192,7 @@ def trace_rays(
     # dominated the shading pass at 4M rays).
     face_table = build_face_table(scene.geometry)
     has_uvs = scene.geometry.uvs is not None
+    tex_packs = _pack_textures(scene)
 
     has_area_lights = scene.geometry.emissive_faces is not None
     prev_pdf = jnp.zeros((n_rays,), jnp.float32)  # bsdf pdf of the ray that got here
@@ -213,12 +265,12 @@ def trace_rays(
         params["eta_rel"] = jnp.where(
             flip > 0, params["ior"], 1.0 / jnp.maximum(params["ior"], 1e-3)
         )
-        params = _shading_base_color(scene, params, attrs)
+        params = _shading_base_color(scene, params, attrs, packs=tex_packs)
         tangent = attrs.get("tangent")
         # Shading normal (normal-mapped where materials carry a map) drives
         # BSDF evaluation/sampling and cosine factors; the geometric `n`
         # keeps handling ray offsets and sidedness.
-        ns = _shading_normal(scene, attrs, n)
+        ns = _shading_normal(scene, attrs, n, packs=tex_packs)
 
         # Emissive surfaces contribute on any hit; for BSDF-sampled bounces
         # MIS-weight against the area-light NEE strategy (power heuristic) so
@@ -241,7 +293,8 @@ def trace_rays(
             wi_list, dist_list, rad_list = [], [], []
         else:
             wi_list, dist_list, rad_list = lights_mod.total_incident_v(
-                scene.lights, scene.projector, p
+                scene.lights, scene.projector, p,
+                proj_tex_table=tex_packs.get("proj"),
             )
         if _os.environ.get("FF_NEE_CONST_RAD"):  # perf-bisection knob
             one_v = Vec3(
@@ -420,11 +473,12 @@ def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
             ),
             (o, d),
         )
-        return out.reshape(-1, 3)[inv_perm]
+        out = out.reshape(-1, 3)[: config.width * config.height]
+        return unpermute_rows(out, inv_perm, config.width, config.height)
     radiance = trace_rays(
         scene, o, d, k_path, config, primary_origin=scene.camera.to_world[:3, 3]
     )
-    return radiance[inv_perm]
+    return unpermute_rows(radiance, inv_perm, config.width, config.height)
 
 
 def _film_render_reparam(

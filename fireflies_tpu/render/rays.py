@@ -83,12 +83,59 @@ def camera_rays_tiled(
 ):
     """Primary rays in tile-major order; returns (o, d, inv_perm).
 
-    Index the per-ray results with `inv_perm` to recover row-major pixel
-    order: `image = radiance[inv_perm].reshape(H, W, -1)`.
+    Recover row-major pixel order with `unpermute_rows(x, inv_perm, w, h)`
+    (or `x[inv_perm]` when inv_perm is an index array).
+
+    When the film divides evenly into tiles, pixel coordinates are computed
+    ARITHMETICALLY in tile-major order and inv_perm is None — TPU gathers
+    are per-row bound (~23 ms / 4M rows), so the permutation gathers on
+    o/d/radiance were costing more than an intersection pass; the inverse
+    is then a pure reshape/transpose (unpermute_rows).
     """
+    tw, th = tile
+    if width % tw == 0 and height % th == 0:
+        n = width * height
+        n_tx = width // tw
+        i = jnp.arange(n, dtype=jnp.int32)
+        tile_id = i // (tw * th)
+        within = i % (tw * th)
+        px = ((tile_id % n_tx) * tw + within % tw).astype(jnp.float32)
+        py = ((tile_id // n_tx) * th + within // tw).astype(jnp.float32)
+        if key is not None:
+            jit_xy = jax.random.uniform(key, (n, 2))
+            px = px + jit_xy[:, 0]
+            py = py + jit_xy[:, 1]
+        else:
+            px = px + 0.5
+            py = py + 0.5
+        o, d = rays_from_ndc(camera, pixel_to_ndc(px, py, width, height))
+        return o, d, None
     perm, inv = _tile_permutation(width, height, tile[0], tile[1])
     o, d = camera_rays(camera, width, height, key=key)
     return o[jnp.asarray(perm)], d[jnp.asarray(perm)], jnp.asarray(inv)
+
+
+def unpermute_rows(
+    x: Array,
+    inv_perm: Array | None,
+    width: int,
+    height: int,
+    tile: tuple[int, int] = (128, 16),
+) -> Array:
+    """Tile-major per-ray results -> row-major pixel order.
+
+    Inverse of camera_rays_tiled's ordering: a reshape/transpose when the
+    ordering was arithmetic (inv_perm None), else the index gather.
+    """
+    if inv_perm is not None:
+        return x[inv_perm]
+    tw, th = tile
+    n_tx = width // tw
+    n_ty = height // th
+    lead = x.shape[1:]
+    y = x.reshape(n_ty, n_tx, th, tw, *lead)
+    y = jnp.swapaxes(y, 1, 2)  # (n_ty, th, n_tx, tw, ...)
+    return y.reshape(width * height, *lead)
 
 
 def pixel_to_ndc(px: Array, py: Array, width: int, height: int) -> Array:

@@ -1,4 +1,14 @@
-"""Differentiable texture sampling."""
+"""Differentiable texture sampling.
+
+TPU cost model (measured, CLAUDE.md): gathers are ~per-ROW bound — a
+4M-row gather costs ~23 ms regardless of row width.  Classic bilinear does
+4 corner gathers per sample site; `bilinear_sample_packed` instead gathers
+ONE row of a precomputed (H*W, 4C) 2x2-neighborhood table (texel + its
+x/y/xy clamped neighbors), cutting per-site gather cost 4x.  The table is
+built from the texture with pads/slices (fusable, differentiable — the
+backward is one scatter-add into the table plus four shifted dense adds),
+so gradients w.r.t. the original texture are exact.
+"""
 
 from __future__ import annotations
 
@@ -6,6 +16,78 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def pack_neighborhood_table(texture: Array) -> Array:
+    """(H, W, C) texture -> (H*W, 4C) bilinear-corner table.
+
+    Row y*W + x holds [c(y,x), c(y,x+1), c(y+1,x), c(y+1,x+1)] with
+    clamped (replicated-edge) neighbors, matching bilinear_sample's
+    border clamping exactly.
+    """
+    h, w, c = texture.shape
+    sx = jnp.concatenate([texture[:, 1:], texture[:, -1:]], axis=1)
+    sy = jnp.concatenate([texture[1:], texture[-1:]], axis=0)
+    sxy = jnp.concatenate([sy[:, 1:], sy[:, -1:]], axis=1)
+    return jnp.concatenate([texture, sx, sy, sxy], axis=-1).reshape(h * w, 4 * c)
+
+
+def _bilinear_weights(uv: Array, h: int, w: int):
+    x = jnp.clip(uv[:, 0], 0.0, 1.0) * (w - 1)
+    y = (1.0 - jnp.clip(uv[:, 1], 0.0, 1.0)) * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    return x0i, y0i, fx, fy
+
+
+def bilinear_sample_packed(table: Array, h: int, w: int, uv: Array) -> Array:
+    """Bilinear sample from a pack_neighborhood_table row table.
+
+    table: (H*W, 4C); uv: (N, 2) in [0, 1].  ONE gather per call.
+    Identical results to bilinear_sample(texture, uv) (tested).
+    """
+    c4 = table.shape[1]
+    c = c4 // 4
+    x0i, y0i, fx, fy = _bilinear_weights(uv, h, w)
+    row = table[y0i * w + x0i]  # (N, 4C) — the one gather
+    c00 = row[:, 0 * c : 1 * c]
+    c01 = row[:, 1 * c : 2 * c]
+    c10 = row[:, 2 * c : 3 * c]
+    c11 = row[:, 3 * c : 4 * c]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def pack_neighborhood_stack(textures: Array) -> Array:
+    """(M, H, W, C) stack -> (M*H*W, 4C) table for bilinear_sample_stack_packed."""
+    m, h, w, c = textures.shape
+    return jax.vmap(pack_neighborhood_table)(textures).reshape(m * h * w, 4 * c)
+
+
+def bilinear_sample_stack_packed(
+    table: Array, h: int, w: int, index: Array, uv: Array
+) -> Array:
+    """Per-point texture-stack bilinear from a packed table; ONE gather.
+
+    table: (M*H*W, 4C) from pack_neighborhood_stack; index: (N,) material
+    texture selector; uv: (N, 2).
+    """
+    c4 = table.shape[1]
+    c = c4 // 4
+    x0i, y0i, fx, fy = _bilinear_weights(uv, h, w)
+    row = table[index * (h * w) + y0i * w + x0i]
+    c00 = row[:, 0 * c : 1 * c]
+    c01 = row[:, 1 * c : 2 * c]
+    c10 = row[:, 2 * c : 3 * c]
+    c11 = row[:, 3 * c : 4 * c]
+    top = c00 * (1 - fx) + c01 * fx
+    bot = c10 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
 
 
 def bilinear_sample(texture: Array, uv: Array) -> Array:

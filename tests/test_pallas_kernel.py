@@ -99,3 +99,150 @@ def test_streamed_kernels_match_jax():
     np.testing.assert_allclose(
         np.asarray(t2)[hit], np.asarray(ref2.t)[hit], atol=1e-4
     )
+
+
+def test_culled_kernel_matches_jax():
+    """Tile-culled shared-origin kernel vs the JAX reference (closest + any)."""
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_shared_culled,
+        tile_cluster_lists,
+    )
+    from fireflies_tpu.render.pallas.intersect_kernel import (
+        pack_dirs,
+        pack_triangles_woop,
+    )
+
+    geo, _, d = _soup(n_verts=400, n_faces=300, seed=4)
+    origin = jnp.asarray([0.0, 0.5, 4.0])
+    ob = jnp.broadcast_to(origin, d.shape)
+    for chunk in (64, 16):
+        ref = intersect.intersect_brute(ob, d, geo)
+        t, prim = intersect_pallas_shared_culled(
+            origin, d, geo.vertices, geo.faces, interpret=True, chunk=chunk
+        )
+        np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+        hit = np.asarray(prim) >= 0
+        np.testing.assert_allclose(
+            np.asarray(t)[hit], np.asarray(ref.t)[hit], atol=1e-4
+        )
+
+    # any-hit agreement on blocked mask
+    blocked_ref = intersect.occluded(ob, d, geo, t_max=2.0)
+    _, prim2 = intersect_pallas_shared_culled(
+        origin, d, geo.vertices, geo.faces, t_max=2.0, any_hit=True,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(prim2 >= 0), np.asarray(blocked_ref))
+
+    # per-ray tmax incl. dead rays (tmax < 0 must never hit)
+    tmax = jnp.where(jnp.arange(d.shape[0]) % 3 == 0, -1.0, 3.0)
+    ref3 = intersect.intersect_brute(ob, d, geo, t_max=tmax)
+    _, prim3 = intersect_pallas_shared_culled(
+        origin, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim3), np.asarray(ref3.prim))
+
+    # the conservative lists actually cull: no false negatives is covered
+    # above; here check counts are a real subset on a spatially-local load
+    woop, boxes = pack_triangles_woop(geo.vertices, geo.faces, origin, chunk=16)
+    dn = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dirs_soa, _, _ = pack_dirs(dn * 0.05 + jnp.asarray([0.0, 0.0, -1.0]), 1e30)
+    lists, counts = tile_cluster_lists(dirs_soa, boxes)
+    assert lists.shape[1] == boxes.shape[1]
+    assert int(counts.max()) <= boxes.shape[1]
+
+
+def test_culled_streamed_matches_jax():
+    """Tile-culled HBM-streamed shared-origin kernel vs the JAX reference,
+    incl. the vmapped (batched-geometry) route bench variants use."""
+    from fireflies_tpu.render.pallas.intersect_stream import (
+        intersect_pallas_streamed_culled,
+    )
+
+    geo, _, d = _soup(n_verts=400, n_faces=300, seed=5)
+    origin = jnp.asarray([0.0, 0.5, 4.0])
+    ob = jnp.broadcast_to(origin, d.shape)
+    ref = intersect.intersect_brute(ob, d, geo)
+    t, prim = intersect_pallas_streamed_culled(
+        origin, d, geo.vertices, geo.faces, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+    hit = np.asarray(prim) >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(ref.t)[hit], atol=1e-4)
+
+    blocked_ref = intersect.occluded(ob, d, geo, t_max=2.0)
+    _, prim2 = intersect_pallas_streamed_culled(
+        origin, d, geo.vertices, geo.faces, t_max=2.0, any_hit=True,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(prim2 >= 0), np.asarray(blocked_ref))
+
+    # vmap over batched vertices (randomized variants)
+    verts_b = jnp.stack([geo.vertices, geo.vertices * 1.1 + 0.02])
+
+    def one(v):
+        return intersect_pallas_streamed_culled(
+            origin, d, v, geo.faces, interpret=True
+        )[1]
+
+    prim_b = jax.vmap(one)(verts_b)
+    for i in range(2):
+        geo_i = Geometry(
+            vertices=verts_b[i], faces=geo.faces,
+            face_mat=geo.face_mat, face_mesh=geo.face_mesh,
+        )
+        ref_i = intersect.intersect_brute(ob, d, geo_i)
+        np.testing.assert_array_equal(np.asarray(prim_b[i]), np.asarray(ref_i.prim))
+
+
+def test_general_culled_matches_jax():
+    """Tile-culled general (per-ray origin) kernel vs the JAX reference."""
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_general_culled,
+    )
+
+    geo, o, d = _soup(seed=6)
+    for chunk in (64, 16):
+        ref = intersect.intersect_brute(o, d, geo)
+        t, prim = intersect_pallas_general_culled(
+            o, d, geo.vertices, geo.faces, interpret=True, chunk=chunk
+        )
+        np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+        hit = np.asarray(prim) >= 0
+        np.testing.assert_allclose(
+            np.asarray(t)[hit], np.asarray(ref.t)[hit], atol=1e-4
+        )
+
+    blocked_ref = intersect.occluded(o, d, geo, t_max=2.0)
+    _, prim2 = intersect_pallas_general_culled(
+        o, d, geo.vertices, geo.faces, t_max=2.0, any_hit=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim2 >= 0), np.asarray(blocked_ref))
+
+
+def test_culled_kernel_vmap_batched_vertices():
+    """Resident culled kernel under vmap (the bench's batch-of-variants
+    route): auto-batching must block the SMEM list/count tables per grid
+    step."""
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_shared_culled,
+    )
+
+    geo, _, d = _soup(n_verts=400, n_faces=300, seed=7)
+    origin = jnp.asarray([0.0, 0.5, 4.0])
+    ob = jnp.broadcast_to(origin, d.shape)
+    verts_b = jnp.stack([geo.vertices, geo.vertices * 0.9 - 0.05])
+
+    def one(v):
+        return intersect_pallas_shared_culled(
+            origin, d, v, geo.faces, interpret=True
+        )[1]
+
+    prim_b = jax.vmap(one)(verts_b)
+    for i in range(2):
+        geo_i = Geometry(
+            vertices=verts_b[i], faces=geo.faces,
+            face_mat=geo.face_mat, face_mesh=geo.face_mesh,
+        )
+        ref_i = intersect.intersect_brute(ob, d, geo_i)
+        np.testing.assert_array_equal(np.asarray(prim_b[i]), np.asarray(ref_i.prim))

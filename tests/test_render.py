@@ -262,3 +262,42 @@ def test_randomized_perlin_base_color_texture():
         bridge.assemble(randomize(jax.random.key(3), 0)), jax.random.key(0), cfg
     )
     assert float(jnp.abs(img - img2).max()) > 1e-3
+
+
+def test_tiled_ray_order_roundtrip():
+    """Arithmetic tile-major ray order must equal the permutation path, and
+    unpermute_rows must invert it exactly (it replaces per-row-bound gathers
+    with a reshape/transpose on evenly-tiled films)."""
+    import numpy as np
+
+    from fireflies_tpu.render.rays import (
+        _tile_permutation,
+        camera_rays,
+        camera_rays_tiled,
+        unpermute_rows,
+    )
+    from fireflies_tpu.render.types import Camera
+
+    cam = Camera(
+        to_world=jnp.eye(4), fov=60.0, near=0.01, far=100.0
+    )
+    w, h = 256, 32  # divides (128, 16) exactly -> arithmetic path
+    o, d, inv = camera_rays_tiled(cam, w, h)
+    assert inv is None
+    o_ref, d_ref = camera_rays(cam, w, h)
+    perm, _ = _tile_permutation(w, h, 128, 16)
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(d_ref)[perm], atol=1e-6
+    )
+    # roundtrip: unpermute recovers row-major
+    np.testing.assert_allclose(
+        np.asarray(unpermute_rows(d, None, w, h)), np.asarray(d_ref), atol=1e-6
+    )
+    # odd size -> permutation fallback, x[inv] roundtrip
+    o2, d2, inv2 = camera_rays_tiled(cam, 96, 24)
+    assert inv2 is not None
+    o2_ref, d2_ref = camera_rays(cam, 96, 24)
+    np.testing.assert_allclose(
+        np.asarray(unpermute_rows(d2, inv2, 96, 24)), np.asarray(d2_ref),
+        atol=1e-6,
+    )

@@ -1,0 +1,301 @@
+"""Honest TPU perf probe: kernel-level and step-level budgets.
+
+Protocol (CLAUDE.md "MEASUREMENT TRUTH"):
+  * ONE early device->host read at process start flips the axon tunnel into
+    eager execution (without it, dispatches are lazily captured and timings
+    are fiction).
+  * Repeats run INSIDE a jitted lax.scan so the tunnel's per-dispatch
+    overhead (tens of ms) is paid once per measurement, not per iteration.
+  * Every timed region ends with a host readback that data-depends on all
+    timed work.
+
+Usage: python tools/perf_probe.py kernel|hitfrac|step|all [out.json]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fireflies_tpu.assets import scenes as ff_scenes
+from fireflies_tpu.projection import laser as laser_mod
+from fireflies_tpu.render import RenderConfig, SceneBridge, render_rgb
+from fireflies_tpu.render.rays import camera_rays_tiled
+
+RESULTS: dict[str, dict] = {}
+
+
+def _emit(name: str, **kw):
+    RESULTS[name] = kw
+    print(json.dumps({"probe": name, **kw}), flush=True)
+
+
+def timed_scan(op, x0, n_iter: int) -> float:
+    """Seconds per op, measured as one dispatch of lax.scan(op, n_iter) ending
+    in a host readback.  op: pytree -> same-structure pytree (data-dependent).
+    """
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return op(c), None
+
+        out, _ = jax.lax.scan(body, x, None, length=n_iter)
+        return jax.tree.map(lambda l: jnp.sum(l.astype(jnp.float32)), out)
+
+    warm = run(x0)  # compile + warm
+    s = sum(float(v) for v in jax.tree.leaves(warm))
+    assert s == s, "NaN checksum"
+    best = None
+    for _ in range(int(os.environ.get("PROBE_TRIALS", 2))):
+        t0 = time.perf_counter()
+        out = run(x0)
+        s = sum(float(v) for v in jax.tree.leaves(out))  # D2H readback
+        dt = time.perf_counter() - t0
+        assert s == s
+        best = dt if best is None else min(best, dt)
+    return best / n_iter
+
+
+def _scene(resolution: int):
+    scene, kw = ff_scenes.vocalfold(resolution=resolution, n_anim_frames=4)
+    bridge = SceneBridge(scene, **kw)
+    randomize = scene.compile()
+    rs = jax.jit(lambda k: bridge.assemble(dict(randomize(k, 0))))(jax.random.key(0))
+    return rs, bridge, randomize
+
+
+def probe_kernel(size=512, n_iter=30):
+    """Kernel-level timings: resident vs streamed vs culled, per pass kind."""
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_shared_culled,
+    )
+    from fireflies_tpu.render.pallas.intersect_kernel import (
+        intersect_pallas,
+        intersect_pallas_shared,
+    )
+    from fireflies_tpu.render.pallas.intersect_stream import (
+        intersect_pallas_streamed,
+    )
+
+    which = os.environ.get("PROBE_KERNELS", "res,culled,culled16,stream,general")
+    res_list = tuple(
+        int(r) for r in os.environ.get("PROBE_RES", "24,75,160").split(",")
+    )
+    for resolution in res_list:
+        rs, _, _ = _scene(resolution)
+        n_faces = int(rs.geometry.faces.shape[0])
+        o, d, _inv = camera_rays_tiled(rs.camera, size, size, key=jax.random.key(1))
+        cam = rs.camera.to_world[:3, 3]
+        verts, faces = rs.geometry.vertices, rs.geometry.faces
+        n_rays = d.shape[0]
+        resident_ok = n_faces <= 20000
+
+        variants: list[tuple[str, object]] = []
+        if "res" in which and resident_ok:
+            variants.append((
+                "resident",
+                lambda dd: intersect_pallas_shared(cam, dd, verts, faces)[0],
+            ))
+        if "culled" in which and resident_ok:
+            variants.append((
+                "culled64",
+                lambda dd: intersect_pallas_shared_culled(
+                    cam, dd, verts, faces, chunk=64
+                )[0],
+            ))
+        if "culled16" in which and resident_ok:
+            variants.append((
+                "culled16",
+                lambda dd: intersect_pallas_shared_culled(
+                    cam, dd, verts, faces, chunk=16
+                )[0],
+            ))
+        if "stream" in which:
+            variants.append((
+                "streamed",
+                lambda dd: intersect_pallas_streamed(cam, dd, verts, faces)[0],
+            ))
+        if "streamculled" in which:
+            from fireflies_tpu.render.pallas.intersect_stream import (
+                intersect_pallas_streamed_culled,
+            )
+
+            variants.append((
+                "stream_culled",
+                lambda dd: intersect_pallas_streamed_culled(
+                    cam, dd, verts, faces
+                )[0],
+            ))
+        if "general" in which and resident_ok:
+            # bounce-like incoherent load: origins at primary hits (tile-
+            # coherent), directions hemisphere-random
+            from fireflies_tpu.render.intersect import closest_hit
+
+            hit = jax.jit(
+                lambda d: closest_hit(None, d, rs.geometry, shared_origin=cam)
+            )(d)
+            p = o + d * jnp.where(hit.valid, hit.t, 1.0)[:, None]
+            dr = jax.random.normal(jax.random.key(2), d.shape)
+            dr = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+            variants.append((
+                "general_bounce",
+                lambda dd: intersect_pallas(p, dd, verts, faces)[0],
+            ))
+            d_general = dr
+        if "genculled" in which and resident_ok:
+            from fireflies_tpu.render.intersect import closest_hit
+            from fireflies_tpu.render.pallas.intersect_culled import (
+                intersect_pallas_general_culled,
+            )
+
+            hit = jax.jit(
+                lambda d: closest_hit(
+                    None, d, rs.geometry, shared_origin=cam, backend="jax"
+                )
+            )(d)
+            p = o + d * jnp.where(hit.valid, hit.t, 1.0)[:, None]
+            dr = jax.random.normal(jax.random.key(2), d.shape)
+            dr = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+            for ch in (16, 64):
+                variants.append((
+                    f"general_culled{ch}",
+                    functools.partial(
+                        lambda dd, _c: intersect_pallas_general_culled(
+                            p, dd, verts, faces, chunk=_c
+                        )[0],
+                        _c=ch,
+                    ),
+                ))
+            d_general = dr
+        for name, fn in variants:
+            dd0 = d_general if name.startswith("general") else d
+
+            def op(dd, _fn=fn):
+                t = _fn(dd)
+                return dd + 1e-24 * t[:, None]
+
+            dt = timed_scan(op, dd0, n_iter)
+            _emit(
+                f"kernel_r{resolution}_{name}",
+                faces=n_faces, rays=n_rays, ms=round(dt * 1e3, 3),
+                mray_s=round(n_rays / dt / 1e6, 1),
+            )
+
+
+def probe_hitfrac(size=512):
+    from fireflies_tpu.render.intersect import closest_hit
+
+    for resolution in (24, 160):
+        rs, _, _ = _scene(resolution)
+        o, d, _inv = camera_rays_tiled(rs.camera, size, size, key=jax.random.key(1))
+        cam = rs.camera.to_world[:3, 3]
+        hit = jax.jit(
+            lambda d: closest_hit(None, d, rs.geometry, shared_origin=cam).valid
+        )(d)
+        frac = float(jnp.mean(hit.astype(jnp.float32)))
+        # per-tile stats: fraction of 2048-ray tiles fully inactive
+        tiles = hit.reshape(-1, 2048)
+        tile_any = jnp.any(tiles, axis=1)
+        _emit(
+            f"hitfrac_r{resolution}",
+            hit_frac=round(frac, 4),
+            tiles_active=round(float(jnp.mean(tile_any.astype(jnp.float32))), 4),
+        )
+
+
+def _step_fn(bridge, randomize, cfg, batch):
+    """The bench.py unit of work as a rays->rays op (for timed_scan)."""
+    rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)
+
+    def loss(rays, key):
+        tex = laser_mod.rays_to_texture_rgb(
+            rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
+        )
+
+        def one(k):
+            params = dict(randomize(k, 0))
+            params["tex.data"] = tex
+            return jnp.mean(render_rgb(bridge.assemble(params), k, cfg))
+
+        return jnp.mean(jax.vmap(one)(jax.random.split(key, batch)))
+
+    return rays0, loss
+
+
+def probe_step(size=512, batch=16, n_iter=8):
+    """Step-level phase bisection.  Env knobs are read at TRACE time, so each
+    variant re-traces a fresh function after mutating os.environ."""
+    rs, bridge, randomize = _scene(24)
+    cfg = RenderConfig(width=size, height=size, spp=1, max_bounces=2)
+
+    variants = [
+        ("full", {}, True),
+        ("fwd_only", {}, False),
+        ("no_occl", {"FF_SKIP_OCCL": "1"}, True),
+        ("no_nee", {"FF_SKIP_NEE": "1"}, True),
+        ("nee_const_rad", {"FF_NEE_CONST_RAD": "1"}, True),
+        ("bounces1", {"_BOUNCES": "1"}, True),
+    ]
+    knob_names = ["FF_SKIP_OCCL", "FF_SKIP_NEE", "FF_NEE_CONST_RAD"]
+    base = None
+    for name, env, with_grad in variants:
+        for k in knob_names:
+            os.environ.pop(k, None)
+        os.environ.update({k: v for k, v in env.items() if not k.startswith("_")})
+        cfg_v = cfg.replace(max_bounces=int(env.get("_BOUNCES", 2)))
+        rays0, loss = _step_fn(bridge, randomize, cfg_v, batch)
+        if with_grad:
+            g = jax.grad(loss)
+
+            def op(r, _g=g):
+                return r + 1e-20 * _g(r, jax.random.key(0))
+        else:
+
+            def op(r, _l=loss):
+                return r + 1e-20 * _l(r, jax.random.key(0))
+
+        dt = timed_scan(op, rays0, n_iter)
+        if name == "full":
+            base = dt
+        _emit(
+            f"step_{name}",
+            ms=round(dt * 1e3, 1),
+            renders_s=round(batch / dt, 2),
+            frac_of_full=round(dt / base, 3) if base else 1.0,
+        )
+    for k in knob_names:
+        os.environ.pop(k, None)
+
+
+def main():
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    # Early D2H: flip the axon tunnel into eager execution (CLAUDE.md).
+    rs, _, _ = _scene(24)
+    n = int(jnp.sum(rs.geometry.faces >= 0))
+    print(f"# eager-mode flip: faces-checksum {n}", flush=True)
+
+    t_all = time.perf_counter()
+    if what in ("hitfrac", "all"):
+        probe_hitfrac()
+    if what in ("kernel", "all"):
+        probe_kernel()
+    if what in ("step", "all"):
+        probe_step()
+    print(f"# total {time.perf_counter() - t_all:.0f}s", flush=True)
+    if out:
+        with open(out, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
