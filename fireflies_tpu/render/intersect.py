@@ -408,7 +408,12 @@ def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
 
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    # Guard the OPERAND, not just the result: where(cond, 0, 1/det) still
+    # back-propagates -ct/det^2 through the 1/det branch, which is 0/0 = NaN
+    # when det == 0 exactly (ray parallel to an extension plane).
+    near0 = jnp.abs(det) < _EPS_DET
+    det_safe = jnp.where(near0, 1.0, det)
+    inv_det = jnp.where(near0, 0.0, 1.0 / det_safe)
     tvec = o - p0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)
@@ -439,7 +444,8 @@ def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
         duv1 = uv1 - uv0
         duv2 = uv2 - uv0
         det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-        inv = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / det_uv)
+        uv0_ = jnp.abs(det_uv) < 1e-12
+        inv = jnp.where(uv0_, 0.0, 1.0 / jnp.where(uv0_, 1.0, det_uv))
         tangent = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
         out["tangent"] = tangent
     return out
@@ -464,7 +470,8 @@ def hit_attributes_v(o, d, hit: Hit, geometry: Geometry):
 
     pvec = d.cross(e2)
     det = e1.dot(pvec)
-    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    near0 = jnp.abs(det) < _EPS_DET
+    inv_det = jnp.where(near0, 0.0, 1.0 / jnp.where(near0, 1.0, det))
     tvec = o - p0
     u = tvec.dot(pvec) * inv_det
     qvec = tvec.cross(e1)
@@ -497,7 +504,8 @@ def hit_attributes_v(o, d, hit: Hit, geometry: Geometry):
         d1x, d1y = u1x - u0x, u1y - u0y
         d2x, d2y = u2x - u0x, u2y - u0y
         det_uv = d1x * d2y - d1y * d2x
-        inv = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / det_uv)
+        uv0_ = jnp.abs(det_uv) < 1e-12
+        inv = jnp.where(uv0_, 0.0, 1.0 / jnp.where(uv0_, 1.0, det_uv))
         out["tangent"] = (e1 * d2y - e2 * d1y) * inv
     return out
 
@@ -549,7 +557,8 @@ def hit_attributes_table(o, d, hit: Hit, face_table: Array, has_uvs: bool):
 
     pvec = d.cross(e2)
     det = e1.dot(pvec)
-    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+    near0 = jnp.abs(det) < _EPS_DET
+    inv_det = jnp.where(near0, 0.0, 1.0 / jnp.where(near0, 1.0, det))
     tvec = o - p0
     u = tvec.dot(pvec) * inv_det
     qvec = tvec.cross(e1)
@@ -575,6 +584,7 @@ def hit_attributes_table(o, d, hit: Hit, face_table: Array, has_uvs: bool):
         out["uv_x"] = u0x + u * d1x + v * d2x
         out["uv_y"] = u0y + u * d1y + v * d2y
         det_uv = d1x * d2y - d1y * d2x
-        inv = jnp.where(jnp.abs(det_uv) < 1e-12, 0.0, 1.0 / det_uv)
+        uv0_ = jnp.abs(det_uv) < 1e-12
+        inv = jnp.where(uv0_, 0.0, 1.0 / jnp.where(uv0_, 1.0, det_uv))
         out["tangent"] = (e1 * d2y - e2 * d1y) * inv
     return out

@@ -189,7 +189,12 @@ def _screen_boundary(
         )
         tt = jnp.clip(tt, 0.0, 1.0)
         proj = s0[:, :2] + tt[:, None] * e
-        return jnp.linalg.norm(p - proj, axis=-1)
+        # NOT jnp.linalg.norm: its VJP divides by the distance, and a sample
+        # can land EXACTLY on an edge segment (barycentrics quantize to 0.0),
+        # turning the whole gradient NaN.  max-guarding the radicand routes
+        # the cotangent to the constant there instead.
+        d2 = jnp.sum((p - proj) ** 2, axis=-1)
+        return jnp.sqrt(jnp.maximum(d2, 1e-24))
 
     def corners_of(fids):
         fidx = geo_det.faces[fids]
@@ -721,8 +726,13 @@ def _apply_warp(warp, u: Array):
 
     ex = jnp.broadcast_to(jnp.array([1.0, 0.0], jnp.float32), u_det.shape)
     ey = jnp.broadcast_to(jnp.array([0.0, 1.0], jnp.float32), u_det.shape)
-    v, dv_x = jax.jvp(warp, (u_det,), (ex,))
-    _, dv_y = jax.jvp(warp, (u_det,), (ey,))
+    # linearize + vmap traces `warp` ONCE (primal) plus one batched copy of
+    # its tangent-linear graph, instead of two full jvp traces — halves the
+    # (pathological on XLA:CPU) reparam grad-compile time.  The outer
+    # reverse-mode theta-gradient flows through the linearization residuals
+    # unchanged; values are bit-identical to the two-jvp form.
+    v, lin = jax.linearize(warp, u_det)
+    dv_x, dv_y = jax.vmap(lin)(jnp.stack([ex, ey]))
 
     w_field = v - jax.lax.stop_gradient(v)  # primal 0, d/dtheta = dV/dtheta
     u_new = u + w_field

@@ -79,7 +79,10 @@ class Vec3(NamedTuple):
         return jnp.sqrt(self.norm2())
 
     def normalized(self, eps: float = 1e-20) -> "Vec3":
-        inv = 1.0 / (self.norm() + eps)
+        # rsqrt(max(n2, eps^2)) rather than 1/(sqrt(n2)+eps): sqrt's VJP at
+        # n2 == 0 is inf, and 0-cotangent * inf = NaN poisons gradients even
+        # when the normalized vector is masked out downstream.
+        inv = jax.lax.rsqrt(jnp.maximum(self.norm2(), eps * eps))
         return self * inv
 
     def max_component(self) -> Array:
