@@ -183,9 +183,15 @@ def occluded(
 
 # The Pallas kernels keep the triangle SoA in SMEM (scalar-indexable); v5e
 # SMEM is 1 MiB (measured via compiler OOM dumps), so the 12-row f32 Woop
-# table caps out near 20k faces (12 x Tpad x 4B <= ~960 KiB after the box /
-# list tables).  Larger scenes use the HBM-streamed kernels.
-PALLAS_MAX_TRIS = int(__import__("os").environ.get("FF_PALLAS_MAX_TRIS", 16384))
+# table caps out near 20k faces single-buffered (12 x Tpad x 4B <= ~960 KiB
+# after the box / list tables) — but under vmap (batched variants, the
+# production mode) every batch element carries its OWN geometry, so Mosaic
+# double-buffers the per-batch SMEM windows and the cap HALVES: at chunk 16
+# the budget is ~103 B/face (woop 96 + boxes 3 + lists 4, x2 buffering),
+# i.e. ~9.8k faces.  Default to 8192 for margin; larger scenes use the
+# HBM-streamed kernels (measured OOM: 11.5k faces x batch 16 asked 1.42 MiB
+# of 1 MiB SMEM).
+PALLAS_MAX_TRIS = int(__import__("os").environ.get("FF_PALLAS_MAX_TRIS", 8192))
 
 # Tile-culled shared-origin kernels (intersect_culled.py): per-tile cluster
 # lists built by a conservative XLA cone/AABB pass.  Default ON for the
