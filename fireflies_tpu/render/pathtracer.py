@@ -316,6 +316,15 @@ def trace_rays(
             # excludes the endpoints (surface point already offset along n).
             shadow_o_arr = shadow_o_l.to_array()
             seg_d = jax.lax.stop_gradient(shadow_o_arr - positions[li][None, :])
+            # Dead-ray gating: points the emitter cannot light (outside a
+            # spot/projector cone, dark texel, inactive path) get t_max = -1,
+            # which the kernels treat as dead — the any-hit while exits
+            # immediately on all-dead ray tiles and the slab gate skips the
+            # triangle loops otherwise.  A projector's cone covers a small
+            # part of the frame, so most shadow tiles skip entirely.
+            tmax_l = jnp.where(lit, 1.0 - 1e-4, -1.0)
+            if _os.environ.get("FF_NO_NEE_GATE"):  # perf-bisection knob
+                tmax_l = jnp.full_like(tmax_l, 1.0 - 1e-4)
             if _os.environ.get("FF_SKIP_OCCL"):  # perf-bisection knob
                 blocked = jnp.zeros(seg_d.shape[0], bool)
             elif _os.environ.get("FF_OCCL_FORWARD"):  # perf-bisection knob
@@ -326,7 +335,7 @@ def trace_rays(
                     -seg_d,
                     scene.geometry,
                     t_min=1e-4,
-                    t_max=1.0 - 1e-4,
+                    t_max=tmax_l,
                     tri_chunk=config.tri_chunk,
                     backend=config.backend,
                 )
@@ -336,7 +345,7 @@ def trace_rays(
                     seg_d,
                     scene.geometry,
                     t_min=1e-4,
-                    t_max=1.0 - 1e-4,
+                    t_max=tmax_l,
                     tri_chunk=config.tri_chunk,
                     backend=config.backend,
                     shared_origin=positions[li],
@@ -371,13 +380,16 @@ def trace_rays(
             wi_a = seg_v * (1.0 / dist)
             cos_s = jnp.abs(ns.dot(wi_a))  # f() gates the side
             cos_l = jnp.abs(n_l.dot(wi_a))
-            # Segment stops just short of the emitter face itself.
+            # Segment stops just short of the emitter face itself.  Dead-ray
+            # gating as in the delta-NEE above: paths that cannot use the
+            # sample skip the kernel work.
+            gate_a = active & (cos_s > 0) & (le.max_component() > 0)
             blocked_a = occluded_any(
                 shadow_o_a,
                 seg,
                 scene.geometry,
                 t_min=1e-4,
-                t_max=1.0 - 1e-3,
+                t_max=jnp.where(gate_a, 1.0 - 1e-3, -1.0),
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
             )
@@ -537,7 +549,16 @@ def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
     L2 loss every boundary sample lands on the covered side where
     (img - target) is exactly 0, silently killing all silhouette gradients
     (measured: an emissive-quad depth recovery stalls with grad == 0.0).
-    Independent seeds restore E[g'(img)] * E[d(img)]."""
+    Independent seeds restore E[g'(img)] * E[d(img)].
+
+    Caveat for POINTWISE NONSMOOTH losses (L1/sign-like) at spp=1: the
+    warped-area flux lives on the pixels where f != 0 (the lit side of a
+    moving edge), and a single-sample g' carries no signal exactly there
+    (both primal and target are lit, so sign(primal - target) is jitter
+    noise) — measured ~4% of the true gradient on a shadow-edge pose
+    recovery.  Blur the images inside the loss (postprocessing.
+    gaussian_blur2d) or raise spp so g' sees the edge; see
+    tests/test_reparam_shadow.py::test_pure_pose_recovery_with_reparam_only."""
     if config.reparam:
         k_primal, k_grad = jax.random.split(key)
         primal = jax.lax.stop_gradient(

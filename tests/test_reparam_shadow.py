@@ -140,9 +140,24 @@ def test_shadow_boundary_gradient_matches_analytic():
 def test_pure_pose_recovery_with_reparam_only():
     """VERDICT r1 item 3 done-criterion: a pose recovery driven ONLY by
     warped-area reparam gradients (no soft-silhouette hybrid).  The occluder
-    starts offset; gradient descent on the L1 image loss must move it to the
-    target pose using render_rgb(reparam=True) gradients alone."""
+    starts offset; gradient descent on a BLURRED L1 image loss must move it
+    to the target pose using render_rgb(reparam=True) gradients alone.
+
+    Why the blur (measured, not cosmetic): the warped-area flux is carried
+    entirely by pixels on the LIT side of the moving shadow edge (f = 0 on
+    the shadow side, so f * d(div W) vanishes there) — but with an spp=1
+    primal those are exactly the pixels where sign(primal - target) is a
+    coin flip (both renders lit, difference is jitter noise).  The product
+    delivered ~4% of the true gradient (reparam ~0.005 vs FD ~0.11) and the
+    recovery stalled.  A small Gaussian blur inside the loss lets g' see
+    the edge from the lit side: measured reparam gradient of the blurred
+    L1 is ~0.05 with consistent sign at every trajectory point (FD ~0.12).
+    Higher primal spp is the other standard remedy; blur keeps the test
+    cheap.  This sign-starvation applies to ANY nonsmooth/pointwise loss
+    over a 1-sample image, not just this scene."""
     import optax
+
+    from fireflies_tpu.postprocessing import gaussian_blur2d
 
     cfg = RenderConfig(
         width=48, height=48, spp=1, max_bounces=1, tri_chunk=16,
@@ -152,10 +167,11 @@ def test_pure_pose_recovery_with_reparam_only():
     target = jax.lax.stop_gradient(
         render_rgb(_scene(jnp.asarray(dx_target)), jax.random.key(99), cfg)
     )
+    target_b = jax.lax.stop_gradient(gaussian_blur2d(target, (5, 5), (1.5, 1.5)))
 
     def loss(dx, seed):
         img = render_rgb(_scene(dx), jax.random.key(seed), cfg)
-        return jnp.mean(jnp.abs(img - target))
+        return jnp.mean(jnp.abs(gaussian_blur2d(img, (5, 5), (1.5, 1.5)) - target_b))
 
     def mean_grad(dx, step):
         gs = [jax.grad(loss)(dx, 3 * step + j) for j in range(3)]
