@@ -710,7 +710,15 @@ def reparam_direction(
     the motion of occluder silhouettes as seen from x, plus the gnomonic
     area factor (primal exactly 1).  This is the indirect-bounce analog of
     reparam_ndc (Mitsuba capability: reparameterized integrators behind
-    reference main.py:6)."""
+    reference main.py:6).
+
+    KEEP `radius` SMALL (~0.15 tangent units, ~8.5 deg).  The warp's
+    divergence is taken in the flat tangent-plane coordinates; the
+    gnomonic map's measure distortion grows as |u| does, and features are
+    evaluated out to scout_mult * radius.  Measured on the analytic
+    blocker scene (tests/test_reparam_indirect.py): radius 0.15 matches
+    finite differences within noise, 0.30 delivers 47% of the flux,
+    0.50 only 18%."""
     domain = DirectionDomain(x, w, k_aux + _n_scout(k_aux))
     warp = make_warp_field(
         None, geometry, key, k_aux=k_aux, radius=radius, kappa=kappa,
