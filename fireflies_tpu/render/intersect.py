@@ -297,6 +297,14 @@ def closest_hit(
                     shared_origin, d, geometry.vertices, geometry.faces,
                     t_min=t_min, t_max=t_max,
                 )
+        elif _TILE_CULL:
+            from fireflies_tpu.render.pallas.intersect_stream import (  # noqa: PLC0415
+                intersect_pallas_streamed_general_culled,
+            )
+
+            t, prim = intersect_pallas_streamed_general_culled(
+                o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
+            )
         else:
             t, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
@@ -384,6 +392,15 @@ def occluded_any(
                     shared_origin, d, geometry.vertices, geometry.faces,
                     t_min=t_min, t_max=t_max, any_hit=any_hit,
                 )
+        elif _TILE_CULL:
+            from fireflies_tpu.render.pallas.intersect_stream import (  # noqa: PLC0415
+                intersect_pallas_streamed_general_culled,
+            )
+
+            _, prim = intersect_pallas_streamed_general_culled(
+                o, d, geometry.vertices, geometry.faces,
+                t_min=t_min, t_max=t_max, any_hit=any_hit,
+            )
         else:
             _, prim = intersect_pallas_streamed_general(
                 o, d, geometry.vertices, geometry.faces,

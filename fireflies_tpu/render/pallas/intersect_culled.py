@@ -56,7 +56,8 @@ _INF = 3.0e38
 
 
 def tile_cluster_lists(
-    dirs_soa: Array, boxes: Array, t_min: float = 0.0
+    dirs_soa: Array, boxes: Array, t_min: float = 0.0,
+    tmax_tiles: Array | None = None,
 ) -> tuple[Array, Array]:
     """Conservative per-tile cluster culling (shared origin at 0).
 
@@ -68,12 +69,24 @@ def tile_cluster_lists(
     front-to-back by centroid distance.  The test is conservative: it uses
     the tile's direction bounding box, so false positives are possible,
     false negatives are not.
+
+    With `tmax_tiles` ((R/128, 128), kernel dead-ray convention: tmax < 0
+    means the ray is masked off / padding), dead rays are excluded from the
+    tile's direction box and all-dead tiles get count 0 — NEE gating then
+    empties every tile outside a projector's cone before the kernel runs.
     """
     n_rows = dirs_soa.shape[1]
     t = n_rows // SUBLANES
     d_tiles = dirs_soa.reshape(3, t, SUBLANES, LANES)
-    dl = jnp.min(d_tiles, axis=(2, 3))  # (3, T)
-    dh = jnp.max(d_tiles, axis=(2, 3))
+    if tmax_tiles is not None:
+        alive = (tmax_tiles >= 0.0).reshape(1, t, SUBLANES, LANES)
+        dl = jnp.min(jnp.where(alive, d_tiles, _INF), axis=(2, 3))  # (3, T)
+        dh = jnp.max(jnp.where(alive, d_tiles, -_INF), axis=(2, 3))
+        any_alive = jnp.any(alive, axis=(0, 2, 3))  # (T,)
+    else:
+        dl = jnp.min(d_tiles, axis=(2, 3))  # (3, T)
+        dh = jnp.max(d_tiles, axis=(2, 3))
+        any_alive = None
 
     # Interval slab test per (tile, cluster, axis), all conservative.
     # U_a = {t > 0 : t*dl <= bh  AND  t*dh >= bl}   (see module docstring)
@@ -102,6 +115,8 @@ def tile_cluster_lists(
 
     center = 0.5 * (boxes[0:3] + boxes[3:6])  # (3, NC), origin-relative
     dist2 = jnp.sum(center * center, axis=0)  # (NC,)
+    if any_alive is not None:
+        hit &= any_alive[:, None]
     sort_key = jnp.where(hit, dist2[None, :], _INF)
     lists = jnp.argsort(sort_key, axis=1).astype(jnp.int32)  # (T, NC)
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]  # (T, 1)
@@ -109,7 +124,8 @@ def tile_cluster_lists(
 
 
 def tile_cluster_lists_general(
-    rays_soa: Array, boxes: Array, t_min: float = 0.0
+    rays_soa: Array, boxes: Array, t_min: float = 0.0,
+    tmax_tiles: Array | None = None,
 ) -> tuple[Array, Array]:
     """Per-tile cluster culling + FRONT-TO-BACK ordering for general rays.
 
@@ -120,14 +136,31 @@ def tile_cluster_lists_general(
     best-t clip prunes far clusters once near hits land — the baseline
     general kernel scans in static Morton order, where a bounce tile
     (spatially tight origins, hemisphere directions) can prune nothing.
+
+    `tmax_tiles` (optional, (R/128, 128)): rays with tmax < 0 are dead
+    (retired paths / padding) — they are excluded from the tile's origin
+    AND direction boxes (a retired bounce ray still carries its stale
+    camera-origin ray, which would blow the origin box wide open), and
+    all-dead tiles get count 0.
     """
     n_rows = rays_soa.shape[1]
     t = n_rows // SUBLANES
     r_tiles = rays_soa.reshape(6, t, SUBLANES, LANES)
-    ol = jnp.min(r_tiles[:3], axis=(2, 3))  # (3, T)
-    oh = jnp.max(r_tiles[:3], axis=(2, 3))
-    dl = jnp.min(r_tiles[3:], axis=(2, 3))
-    dh = jnp.max(r_tiles[3:], axis=(2, 3))
+    if tmax_tiles is not None:
+        alive = (tmax_tiles >= 0.0).reshape(1, t, SUBLANES, LANES)
+        masked_lo = jnp.where(alive, r_tiles, _INF)
+        masked_hi = jnp.where(alive, r_tiles, -_INF)
+        ol = jnp.min(masked_lo[:3], axis=(2, 3))  # (3, T)
+        oh = jnp.max(masked_hi[:3], axis=(2, 3))
+        dl = jnp.min(masked_lo[3:], axis=(2, 3))
+        dh = jnp.max(masked_hi[3:], axis=(2, 3))
+        any_alive = jnp.any(alive, axis=(0, 2, 3))  # (T,)
+    else:
+        ol = jnp.min(r_tiles[:3], axis=(2, 3))  # (3, T)
+        oh = jnp.max(r_tiles[:3], axis=(2, 3))
+        dl = jnp.min(r_tiles[3:], axis=(2, 3))
+        dh = jnp.max(r_tiles[3:], axis=(2, 3))
+        any_alive = None
 
     dl_ = dl[:, :, None]
     dh_ = dh[:, :, None]
@@ -154,6 +187,8 @@ def tile_cluster_lists_general(
     oc = 0.5 * (ol + oh)  # (3, T) tile origin centers
     diff = center[:, None, :] - oc[:, :, None]  # (3, T, NC)
     dist2 = jnp.sum(diff * diff, axis=0)  # (T, NC)
+    if any_alive is not None:
+        hit &= any_alive[:, None]
     sort_key = jnp.where(hit, dist2, _INF)
     lists = jnp.argsort(sort_key, axis=1).astype(jnp.int32)
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]  # (T, 1)
@@ -294,7 +329,9 @@ def _intersect_general_culled_packed(
 ):
     n_rows = rays_soa.shape[1]
     n_tiles = n_rows // SUBLANES
-    lists, counts = tile_cluster_lists_general(rays_soa, boxes, t_min=t_min)
+    lists, counts = tile_cluster_lists_general(
+        rays_soa, boxes, t_min=t_min, tmax_tiles=tmax_tiles
+    )
     lists, counts = _pad_tile_rows(lists, counts)
     kernel = functools.partial(
         _kernel_general_culled, t_min=t_min, any_hit=any_hit, chunk=chunk,
@@ -522,7 +559,9 @@ def _intersect_culled_packed(
 ):
     n_rows = dirs_soa.shape[1]
     n_tiles = n_rows // SUBLANES
-    lists, counts = tile_cluster_lists(dirs_soa, boxes, t_min=t_min)
+    lists, counts = tile_cluster_lists(
+        dirs_soa, boxes, t_min=t_min, tmax_tiles=tmax_tiles
+    )
     lists, counts = _pad_tile_rows(lists, counts)
     kernel = functools.partial(
         _kernel_shared_culled, t_min=t_min, any_hit=any_hit, chunk=chunk,

@@ -273,10 +273,16 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
 
         return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
 
+    # Rays with tmax < 0 are dead (retired paths / padding): they can never
+    # register a hit, so they count as done for early exits, and an all-dead
+    # tile skips the cluster loop outright (bounce passes after paths escape).
+    dead = tmax < 0.0
+
     def all_done(carry):
-        # Any-hit early out: once every ray in the tile is blocked, stop.
+        # Any-hit early out: once every ray in the tile is blocked (or dead),
+        # stop.
         _, best_p = carry
-        return jnp.all(best_p >= 0)
+        return jnp.all((best_p >= 0) | dead)
 
     if any_hit:
         def while_body(carry):
@@ -291,7 +297,8 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
             while_cond, while_body, (0, (best_t0, best_p0))
         )
     else:
-        best_t, best_p = jax.lax.fori_loop(0, n_chunks, chunk_body, (best_t0, best_p0))
+        n_eff = jnp.where(jnp.all(dead), 0, n_chunks)
+        best_t, best_p = jax.lax.fori_loop(0, n_eff, chunk_body, (best_t0, best_p0))
 
     out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
     out_prim_ref[...] = best_p
@@ -406,6 +413,8 @@ def _kernel_shared(
             tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
         )
 
+    # Dead rays (tmax < 0) count as done; all-dead tiles skip the loop.
+    dead = tmax < 0.0
     if any_hit:
         def while_body(carry):
             c, state = carry
@@ -413,14 +422,15 @@ def _kernel_shared(
 
         def while_cond(carry):
             c, state = carry
-            return (c < n_chunks) & ~jnp.all(state[2] >= 0)
+            return (c < n_chunks) & ~jnp.all((state[2] >= 0) | dead)
 
         _, (best_tn, best_dn, best_p) = jax.lax.while_loop(
             while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
         )
     else:
+        n_eff = jnp.where(jnp.all(dead), 0, n_chunks)
         best_tn, best_dn, best_p = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (best_tn0, best_dn0, best_p0)
+            0, n_eff, chunk_body, (best_tn0, best_dn0, best_p0)
         )
 
     out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)

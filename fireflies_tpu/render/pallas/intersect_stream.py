@@ -186,27 +186,35 @@ def _kernel_stream(
 
         return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
 
-    if any_hit:
-        def while_body(carry):
-            c, state = carry
-            return c + 1, chunk_body(c, state)
+    # Dead rays (tmax < 0: retired paths / padding) count as done for the
+    # any-hit early exit; an all-dead tile runs zero chunks either way.
+    dead = tmax < 0.0
 
+    def while_body(carry):
+        c, state = carry
+        return c + 1, chunk_body(c, state)
+
+    if any_hit:
         def while_cond(carry):
             c, state = carry
-            return (c < n_chunks) & ~jnp.all(state[1] >= 0)
-
-        c_fin, (best_t, best_p) = jax.lax.while_loop(
-            while_cond, while_body, (0, (best_t0, best_p0))
-        )
-
-        # Drain: an early exit leaves the prefetch for chunk c_fin in
-        # flight; its semaphore signal would otherwise leak into the next
-        # grid step's wait accounting and let it read a half-copied slot.
-        @pl.when(c_fin < n_chunks)
-        def _():
-            dma(c_fin % 2, c_fin).wait()
+            return (c < n_chunks) & ~jnp.all((state[1] >= 0) | dead)
     else:
-        best_t, best_p = jax.lax.fori_loop(0, n_chunks, chunk_body, (best_t0, best_p0))
+        n_eff = jnp.where(jnp.all(dead), 0, n_chunks)
+
+        def while_cond(carry):
+            c, _state = carry
+            return c < n_eff
+
+    c_fin, (best_t, best_p) = jax.lax.while_loop(
+        while_cond, while_body, (0, (best_t0, best_p0))
+    )
+
+    # Drain: an early exit leaves the prefetch for chunk c_fin in
+    # flight; its semaphore signal would otherwise leak into the next
+    # grid step's wait accounting and let it read a half-copied slot.
+    @pl.when(c_fin < n_chunks)
+    def _():
+        dma(c_fin % 2, c_fin).wait()
 
     out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
     out_prim_ref[...] = best_p
@@ -450,21 +458,22 @@ def _stream_culled_pallas_call(
         _pad_tile_rows,
     )
 
-    lists_batched = b_dirs or b_boxes
+    lists_batched = b_dirs or b_boxes or b_tmax
     if not lists_batched:
-        lists, counts = tile_cluster_lists(dirs_soa, boxes, t_min=t_min)
-    elif b_dirs and b_boxes:
-        lists, counts = jax.vmap(
-            lambda d, bx: tile_cluster_lists(d, bx, t_min=t_min)
-        )(dirs_soa, boxes)
-    elif b_dirs:
-        lists, counts = jax.vmap(
-            lambda d: tile_cluster_lists(d, boxes, t_min=t_min)
-        )(dirs_soa)
+        lists, counts = tile_cluster_lists(
+            dirs_soa, boxes, t_min=t_min, tmax_tiles=tmax_tiles
+        )
     else:
         lists, counts = jax.vmap(
-            lambda bx: tile_cluster_lists(dirs_soa, bx, t_min=t_min)
-        )(boxes)
+            lambda dd, tm, bx: tile_cluster_lists(
+                dd, bx, t_min=t_min, tmax_tiles=tm
+            ),
+            in_axes=(
+                0 if b_dirs else None,
+                0 if b_tmax else None,
+                0 if b_boxes else None,
+            ),
+        )(dirs_soa, tmax_tiles, boxes)
     lists, counts = _pad_tile_rows(lists, counts)
 
     kernel = functools.partial(
@@ -686,5 +695,326 @@ def intersect_pallas_streamed_general(
         any_hit,
         interpret,
         shared=False,
+    )
+    return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]
+
+
+def _kernel_stream_general_culled(
+    bidx_ref, rays_ref, tmax_ref, box_ref, list_ref, count_ref, woop_hbm,
+    out_t_ref, out_prim_ref, scratch, sems, *, t_min, any_hit,
+    woop_batched=False, boxes_batched=False, lists_batched=False,
+):
+    """Tile-culled GENERAL-ray streamed kernel: per-ray origins (bounce
+    passes on big scenes), per-tile front-to-back cluster lists from
+    intersect_culled.tile_cluster_lists_general (dead rays excluded from
+    the tile boxes), woop data double-buffered HBM->SMEM by list index.
+
+    The un-culled streamed general kernel scans every cluster from every
+    tile; on a bounce pass a tile's direction box spans the sphere so
+    conservative culling lists most FORWARD clusters anyway, but the
+    origin-distance ordering + best-t clip prune far ones, and all-dead
+    tiles (retired paths) run zero DMAs.
+    """
+    b = bidx_ref[pl.program_id(0)]
+
+    def bx(r, c):
+        return box_ref[b, r, c] if boxes_batched else box_ref[r, c]
+
+    row = pl.program_id(1) % 8
+
+    def listed(ci):
+        return list_ref[0, row, ci] if lists_batched else list_ref[row, ci]
+
+    n_listed = count_ref[0, row, 0] if lists_batched else count_ref[row, 0]
+
+    ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]  # (16, 128)
+    dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+    tmax = tmax_ref[...]
+    dead = tmax < 0.0
+
+    def safe_inv(x):
+        tiny = jnp.abs(x) < 1e-30
+        sign = jnp.where(x < 0, -1.0, 1.0)
+        return jnp.where(tiny, sign * 1e30, 1.0 / jnp.where(tiny, 1.0, x))
+
+    inv_dx = safe_inv(dx)
+    inv_dy = safe_inv(dy)
+    inv_dz = safe_inv(dz)
+
+    def dma(slot, c):
+        if woop_batched:
+            src = woop_hbm.at[b, :, pl.ds(c * STREAM_CHUNK, STREAM_CHUNK)]
+        else:
+            src = woop_hbm.at[:, pl.ds(c * STREAM_CHUNK, STREAM_CHUNK)]
+        return pltpu.make_async_copy(src, scratch.at[slot], sems.at[slot])
+
+    @pl.when(n_listed > 0)
+    def _():
+        dma(0, listed(0)).start()
+
+    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+
+    def cluster_body(ci, carry):
+        best_t, best_p = carry
+        c = listed(ci)
+        slot = ci % 2
+
+        @pl.when(ci + 1 < n_listed)
+        def _():
+            dma((ci + 1) % 2, listed(ci + 1)).start()
+
+        dma(slot, c).wait()
+
+        t0x = (bx(0, c) - ox) * inv_dx
+        t1x = (bx(3, c) - ox) * inv_dx
+        t0y = (bx(1, c) - oy) * inv_dy
+        t1y = (bx(4, c) - oy) * inv_dy
+        t0z = (bx(2, c) - oz) * inv_dz
+        t1z = (bx(5, c) - oz) * inv_dz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+        )
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), jnp.minimum(tmax, best_t)),
+        )
+        tile_hits = jnp.any(tnear <= tfar)
+
+        def process(carry):
+            def tri_body(j, carry2):
+                bt, bp = carry2
+                w00 = scratch[slot, 0, j]
+                w01 = scratch[slot, 1, j]
+                w02 = scratch[slot, 2, j]
+                w10 = scratch[slot, 3, j]
+                w11 = scratch[slot, 4, j]
+                w12 = scratch[slot, 5, j]
+                w20 = scratch[slot, 6, j]
+                w21 = scratch[slot, 7, j]
+                w22 = scratch[slot, 8, j]
+                # rows 9..11 hold (W v0)_k: o'_k = W_k . o - (W v0)_k.
+                opx = w00 * ox + w01 * oy + w02 * oz - scratch[slot, 9, j]
+                opy = w10 * ox + w11 * oy + w12 * oz - scratch[slot, 10, j]
+                opz = w20 * ox + w21 * oy + w22 * oz - scratch[slot, 11, j]
+
+                dpx = w00 * dx + w01 * dy + w02 * dz
+                dpy = w10 * dx + w11 * dy + w12 * dz
+                dpz = w20 * dx + w21 * dy + w22 * dz
+
+                tiny = jnp.abs(dpz) < 1e-12
+                inv_dpz = jnp.where(tiny, 0.0, 1.0 / jnp.where(tiny, 1.0, dpz))
+                t = -opz * inv_dpz
+                u = opx + t * dpx
+                v = opy + t * dpy
+                ok = (
+                    ~tiny
+                    & (u >= -_EPS_BARY)
+                    & (v >= -_EPS_BARY)
+                    & (u + v <= 1.0 + _EPS_BARY)
+                    & (t > t_min)
+                    & (t < tmax)
+                    & (t < bt)
+                )
+                bt = jnp.where(ok, t, bt)
+                bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
+                return bt, bp
+
+            def unrolled(jj, carry2):
+                for k in range(4):
+                    carry2 = tri_body(jj * 4 + k, carry2)
+                return carry2
+
+            return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
+
+        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+
+    def while_body(carry):
+        ci, state = carry
+        return ci + 1, cluster_body(ci, state)
+
+    if any_hit:
+        def while_cond(carry):
+            ci, state = carry
+            return (ci < n_listed) & ~jnp.all((state[1] >= 0) | dead)
+    else:
+        def while_cond(carry):
+            ci, _state = carry
+            return ci < n_listed
+
+    ci_fin, (best_t, best_p) = jax.lax.while_loop(
+        while_cond, while_body, (0, (best_t0, best_p0))
+    )
+
+    @pl.when(ci_fin < n_listed)
+    def _():
+        dma(ci_fin % 2, listed(ci_fin)).wait()
+
+    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_prim_ref[...] = best_p
+
+
+def _stream_general_culled_pallas_call(
+    rays_soa, tmax_tiles, woop16, boxes, *,
+    t_min, any_hit, interpret, in_batched, axis_size,
+):
+    """General-ray tile-culled variant of _stream_culled_pallas_call."""
+    from fireflies_tpu.render.pallas.intersect_culled import (  # noqa: PLC0415
+        _pad_tile_rows,
+        tile_cluster_lists_general,
+    )
+
+    b_rays, b_tmax, b_woop, b_boxes = in_batched
+    n_rows = rays_soa.shape[-2]
+    n_tiles = n_rows // SUBLANES
+
+    lists_batched = b_rays or b_boxes or b_tmax
+    if not lists_batched:
+        lists, counts = tile_cluster_lists_general(
+            rays_soa, boxes, t_min=t_min, tmax_tiles=tmax_tiles
+        )
+    else:
+        lists, counts = jax.vmap(
+            lambda rr, tm, bx: tile_cluster_lists_general(
+                rr, bx, t_min=t_min, tmax_tiles=tm
+            ),
+            in_axes=(
+                0 if b_rays else None,
+                0 if b_tmax else None,
+                0 if b_boxes else None,
+            ),
+        )(rays_soa, tmax_tiles, boxes)
+    lists, counts = _pad_tile_rows(lists, counts)
+
+    kernel = functools.partial(
+        _kernel_stream_general_culled, t_min=t_min, any_hit=any_hit,
+        woop_batched=b_woop, boxes_batched=b_boxes, lists_batched=lists_batched,
+    )
+    if b_rays:
+        rays_spec = pl.BlockSpec(
+            (None, 6, SUBLANES, LANES), lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        rays_spec = pl.BlockSpec(
+            (6, SUBLANES, LANES), lambda b, i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    if b_tmax:
+        tmax_spec = pl.BlockSpec(
+            (None, SUBLANES, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        tmax_spec = pl.BlockSpec(
+            (SUBLANES, LANES), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+        )
+    nc = lists.shape[-1]
+    if lists_batched:
+        list_spec = pl.BlockSpec(
+            (1, 8, nc), lambda b, i: (b, i // 8, 0), memory_space=pltpu.SMEM
+        )
+        count_spec = pl.BlockSpec(
+            (1, 8, 1), lambda b, i: (b, i // 8, 0), memory_space=pltpu.SMEM
+        )
+    else:
+        list_spec = pl.BlockSpec(
+            (8, nc), lambda b, i: (i // 8, 0), memory_space=pltpu.SMEM
+        )
+        count_spec = pl.BlockSpec(
+            (8, 1), lambda b, i: (i // 8, 0), memory_space=pltpu.SMEM
+        )
+    boxes_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bidx = jnp.arange(axis_size, dtype=jnp.int32)  # (B,)
+    out_t, out_prim = pl.pallas_call(
+        kernel,
+        grid=(axis_size, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bidx
+            rays_spec,
+            tmax_spec,
+            boxes_spec,
+            list_spec,
+            count_spec,
+            pl.BlockSpec(memory_space=pl.ANY),  # woop stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, 16, STREAM_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(bidx, rays_soa, tmax_tiles, boxes, lists, counts, woop16)
+    return out_t, out_prim
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_general_culled_fn(t_min: float, any_hit: bool, interpret: bool):
+    """custom_vmap wrapper (cf. _stream_culled_fn), general rays."""
+
+    @jax.custom_batching.custom_vmap
+    def f(rays_soa, tmax_tiles, woop16, boxes):
+        out_t, out_prim = _stream_general_culled_pallas_call(
+            rays_soa, tmax_tiles, woop16, boxes,
+            t_min=t_min, any_hit=any_hit, interpret=interpret,
+            in_batched=(False, False, False, False), axis_size=1,
+        )
+        return out_t[0], out_prim[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, rays_soa, tmax_tiles, woop16, boxes):
+        out_t, out_prim = _stream_general_culled_pallas_call(
+            rays_soa, tmax_tiles, woop16, boxes,
+            t_min=t_min, any_hit=any_hit, interpret=interpret,
+            in_batched=tuple(in_batched), axis_size=axis_size,
+        )
+        return (out_t, out_prim), (True, True)
+
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret"))
+def _intersect_stream_general_culled_packed(
+    rays_soa: Array, tmax_tiles: Array, woop16: Array, boxes: Array,
+    t_min: float, any_hit: bool, interpret: bool,
+):
+    return _stream_general_culled_fn(t_min, any_hit, interpret)(
+        rays_soa, tmax_tiles, woop16, boxes
+    )
+
+
+def intersect_pallas_streamed_general_culled(
+    o: Array,
+    d: Array,
+    vertices: Array,
+    faces: Array,
+    t_min: float = 1e-4,
+    t_max: Array | float = 1e30,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    """Tile-culled per-ray-origin streamed closest/any-hit for large scenes
+    (the bounce pass at 10k+ faces)."""
+    from fireflies_tpu.render.pallas.intersect_kernel import pack_rays  # noqa: PLC0415
+
+    woop16, boxes = pack_woop_streamed(vertices, faces, None)
+    rays_soa, tmax_tiles, n = pack_rays(o, d, t_max)
+    out_t, out_prim = _intersect_stream_general_culled_packed(
+        jax.lax.stop_gradient(rays_soa),
+        jax.lax.stop_gradient(tmax_tiles),
+        jax.lax.stop_gradient(woop16),
+        jax.lax.stop_gradient(boxes),
+        t_min,
+        any_hit,
+        interpret,
     )
     return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]

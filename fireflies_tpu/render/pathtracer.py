@@ -199,6 +199,15 @@ def trace_rays(
 
     for bounce in range(config.max_bounces):
         bkey = jax.random.fold_in(key, bounce)
+        # Dead-ray gating for bounce passes: retired paths (escaped at an
+        # earlier bounce, throughput-killed) carry t_max = -1, the kernels'
+        # dead-ray convention — the cull pass drops them from tile bounds
+        # and all-dead tiles (sky regions, tile-major order keeps them
+        # contiguous) skip their cluster loops entirely.
+        if _os.environ.get("FF_NO_DEAD_GATE"):  # perf-bisection knob
+            tmax_b = jnp.float32(1e30)
+        else:
+            tmax_b = jnp.where(active, jnp.float32(1e30), jnp.float32(-1.0))
         if bounce == 0:
             hit = closest_hit(
                 o,
@@ -232,13 +241,14 @@ def trace_rays(
                 o[perm],
                 d[perm],
                 scene.geometry,
+                t_max=tmax_b[perm] if jnp.ndim(tmax_b) else tmax_b,
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
             )
             hit = jax.tree.map(lambda x: x[inv], hit_s)
         else:
             hit = closest_hit(
-                o, d, scene.geometry,
+                o, d, scene.geometry, t_max=tmax_b,
                 tri_chunk=config.tri_chunk, backend=config.backend,
             )
         hit = jax.tree.map(jax.lax.stop_gradient, hit)

@@ -246,3 +246,163 @@ def test_culled_kernel_vmap_batched_vertices():
         )
         ref_i = intersect.intersect_brute(ob, d, geo_i)
         np.testing.assert_array_equal(np.asarray(prim_b[i]), np.asarray(ref_i.prim))
+
+
+def test_dead_ray_gating_multi_tile():
+    """Dead rays (tmax < 0) across WHOLE tiles: the bounce-pass gating path.
+
+    Builds > 1 ray tile (4096 rays) with tile 0 entirely dead and tile 1
+    mixed, so the all-dead skip / dead-aware early exits and the
+    tmax-masked cull passes actually execute, and cross-checks every kernel
+    entry point against the brute reference (which honors per-ray t_max).
+    """
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_general_culled,
+        intersect_pallas_shared_culled,
+    )
+    from fireflies_tpu.render.pallas.intersect_stream import (
+        intersect_pallas_streamed,
+        intersect_pallas_streamed_culled,
+        intersect_pallas_streamed_general,
+    )
+
+    rng = np.random.default_rng(42)
+    geo, _, _ = _soup(n_verts=400, n_faces=300, seed=8)
+    n = 4096  # two RAY_TILE tiles exactly
+    o = jnp.asarray(rng.normal(size=(n, 3)) * 3, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # Tile 0 (rays 0..2047) all dead; tile 1 mixed (every 5th dead).
+    alive = (jnp.arange(n) >= 2048) & (jnp.arange(n) % 5 != 0)
+    tmax = jnp.where(alive, 30.0, -1.0)
+
+    ref = intersect.intersect_brute(o, d, geo, t_max=tmax)
+
+    t, prim = intersect_pallas(
+        o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+
+    _, prim_gc = intersect_pallas_general_culled(
+        o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True, chunk=16
+    )
+    np.testing.assert_array_equal(np.asarray(prim_gc), np.asarray(ref.prim))
+
+    _, prim_sg = intersect_pallas_streamed_general(
+        o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim_sg), np.asarray(ref.prim))
+
+    # Shared-origin paths (reversed-shadow-style batch).
+    origin = jnp.asarray([0.0, 0.5, 4.0])
+    ob = jnp.broadcast_to(origin, d.shape)
+    ref_s = intersect.intersect_brute(ob, d, geo, t_max=tmax)
+
+    _, prim_sc = intersect_pallas_shared_culled(
+        origin, d, geo.vertices, geo.faces, t_max=tmax, interpret=True, chunk=16
+    )
+    np.testing.assert_array_equal(np.asarray(prim_sc), np.asarray(ref_s.prim))
+
+    _, prim_st = intersect_pallas_streamed(
+        origin, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim_st), np.asarray(ref_s.prim))
+
+    _, prim_stc = intersect_pallas_streamed_culled(
+        origin, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim_stc), np.asarray(ref_s.prim))
+
+    # Any-hit agreement under the same dead pattern.
+    blocked_ref = np.asarray(
+        intersect.occluded(ob, d, geo, t_max=tmax)
+    ) & np.asarray(alive)
+    for fn in (
+        lambda: intersect_pallas_shared_culled(
+            origin, d, geo.vertices, geo.faces, t_max=tmax, any_hit=True,
+            interpret=True, chunk=16,
+        ),
+        lambda: intersect_pallas_streamed_culled(
+            origin, d, geo.vertices, geo.faces, t_max=tmax, any_hit=True,
+            interpret=True,
+        ),
+    ):
+        _, prim_ah = fn()
+        np.testing.assert_array_equal(np.asarray(prim_ah >= 0), blocked_ref)
+
+
+def test_dead_ray_gating_all_dead():
+    """Every ray dead: counts must be zero everywhere and no hits returned."""
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_general_culled,
+        tile_cluster_lists_general,
+    )
+    from fireflies_tpu.render.pallas.intersect_kernel import pack_rays
+
+    geo, o, d = _soup(seed=9)
+    tmax = jnp.full((o.shape[0],), -1.0)
+    _, prim = intersect_pallas(
+        o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    assert int((prim >= 0).sum()) == 0
+    _, prim2 = intersect_pallas_general_culled(
+        o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True, chunk=16
+    )
+    assert int((prim2 >= 0).sum()) == 0
+
+    rays_soa, tmax_tiles, _ = pack_rays(o, d, tmax)
+    tri, boxes = pack_triangles(geo.vertices, geo.faces, chunk=16)
+    _, counts = tile_cluster_lists_general(
+        rays_soa, boxes, tmax_tiles=tmax_tiles
+    )
+    assert int(counts.max()) == 0
+
+
+def test_streamed_general_culled_matches_jax():
+    """Tile-culled general-ray streamed kernel (big-scene bounce pass) vs the
+    JAX reference: closest, any-hit, dead rays, and the vmapped route."""
+    from fireflies_tpu.render.pallas.intersect_stream import (
+        intersect_pallas_streamed_general_culled,
+    )
+
+    geo, o, d = _soup(n_verts=400, n_faces=300, seed=10)
+    ref = intersect.intersect_brute(o, d, geo)
+    t, prim = intersect_pallas_streamed_general_culled(
+        o, d, geo.vertices, geo.faces, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(ref.prim))
+    hit = np.asarray(prim) >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(ref.t)[hit], atol=1e-4)
+
+    blocked_ref = intersect.occluded(o, d, geo, t_max=2.0)
+    _, prim2 = intersect_pallas_streamed_general_culled(
+        o, d, geo.vertices, geo.faces, t_max=2.0, any_hit=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim2 >= 0), np.asarray(blocked_ref))
+
+    # dead rays
+    tmax = jnp.where(jnp.arange(o.shape[0]) % 4 == 0, -1.0, 20.0)
+    ref3 = intersect.intersect_brute(o, d, geo, t_max=tmax)
+    _, prim3 = intersect_pallas_streamed_general_culled(
+        o, d, geo.vertices, geo.faces, t_max=tmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(prim3), np.asarray(ref3.prim))
+
+    # vmap over batched vertices + batched rays (the bounce-pass shape)
+    verts_b = jnp.stack([geo.vertices, geo.vertices * 1.05 + 0.01])
+    o_b = jnp.stack([o, o + 0.1])
+    d_b = jnp.stack([d, jnp.roll(d, 7, axis=0)])
+
+    def one(v, oo, dd):
+        return intersect_pallas_streamed_general_culled(
+            oo, dd, v, geo.faces, interpret=True
+        )[1]
+
+    prim_b = jax.vmap(one)(verts_b, o_b, d_b)
+    for i in range(2):
+        geo_i = Geometry(
+            vertices=verts_b[i], faces=geo.faces,
+            face_mat=geo.face_mat, face_mesh=geo.face_mesh,
+        )
+        ref_i = intersect.intersect_brute(o_b[i], d_b[i], geo_i)
+        np.testing.assert_array_equal(np.asarray(prim_b[i]), np.asarray(ref_i.prim))
