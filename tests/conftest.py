@@ -19,3 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the reparam-under-grad tests compile for
+# minutes on XLA:CPU (and that compile is where the rare in-suite segfault
+# lives) — warm runs skip those compiles entirely.  Only slow compiles are
+# cached (>2s) to keep the directory small.  Gitignored; safe to delete.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
