@@ -468,15 +468,26 @@ def trace_rays(
     return radiance.to_array()
 
 
-def _film_render(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
-    """One sample-per-pixel pass; (H*W, 3) in row-major pixel order."""
+def _film_render(
+    scene: RenderScene,
+    key: Array,
+    config: RenderConfig,
+    film_y0: Array | int = 0,
+    film_full_height: int | None = None,
+) -> Array:
+    """One sample-per-pixel pass; (H*W, 3) in row-major pixel order.
+
+    `film_y0`/`film_full_height` render a config.height-row horizontal BAND
+    of a film_full_height-row film (band-parallel rendering: each mesh
+    device renders its band; see parallel.render_tile_parallel)."""
     k_pix, k_path = jax.random.split(key)
     if config.reparam:
         return _film_render_reparam(scene, k_pix, k_path, config)
     # Tile-major ray order: spatially local 2048-ray tiles so the Pallas
     # kernels' per-tile cluster pruning is effective (see camera_rays_tiled).
     o, d, inv_perm = camera_rays_tiled(
-        scene.camera, config.width, config.height, key=k_pix
+        scene.camera, config.width, config.height, key=k_pix,
+        y_offset=film_y0, full_height=film_full_height,
     )
     if config.ray_chunk and config.ray_chunk < o.shape[0]:
         n = o.shape[0]
@@ -547,7 +558,14 @@ def _film_render_reparam(
     return radiance[jnp.asarray(inv)]
 
 
-def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
+def render_rgb(
+    scene: RenderScene,
+    key: Array,
+    config: RenderConfig,
+    *,
+    film_y0: Array | int = 0,
+    film_full_height: int | None = None,
+) -> Array:
     """Monte-Carlo RGB render, (H, W, 3).  spp accumulated via lax.scan so
     compile time is independent of sample count.
 
@@ -570,20 +588,34 @@ def render_rgb(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
     gaussian_blur2d) or raise spp so g' sees the edge; see
     tests/test_reparam_shadow.py::test_pure_pose_recovery_with_reparam_only."""
     if config.reparam:
+        if film_full_height is not None:
+            raise NotImplementedError(
+                "band-parallel rendering (film_y0/film_full_height) is not "
+                "supported with config.reparam — the warped-area pass samples "
+                "the full film"
+            )
         k_primal, k_grad = jax.random.split(key)
         primal = jax.lax.stop_gradient(
             render_rgb(scene, k_primal, config.replace(reparam=False))
         )
         grad_img = _render_rgb_samples(scene, k_grad, config)
         return primal + grad_img - jax.lax.stop_gradient(grad_img)
-    return _render_rgb_samples(scene, key, config)
+    return _render_rgb_samples(
+        scene, key, config, film_y0=film_y0, film_full_height=film_full_height
+    )
 
 
-def _render_rgb_samples(scene: RenderScene, key: Array, config: RenderConfig) -> Array:
+def _render_rgb_samples(
+    scene: RenderScene,
+    key: Array,
+    config: RenderConfig,
+    film_y0: Array | int = 0,
+    film_full_height: int | None = None,
+) -> Array:
     keys = jax.random.split(key, config.spp)
 
     def body(acc, k):
-        return acc + _film_render(scene, k, config), None
+        return acc + _film_render(scene, k, config, film_y0, film_full_height), None
 
     init = jnp.zeros((config.width * config.height, 3), jnp.float32)
     total, _ = jax.lax.scan(body, init, keys)

@@ -24,12 +24,19 @@ def camera_rays(
     width: int,
     height: int,
     key: Array | None = None,
+    y_offset: Array | int = 0,
+    full_height: int | None = None,
 ):
     """Primary rays for a width x height film.
 
     Returns (origins, directions): ((H*W, 3), (H*W, 3)); directions are unit,
     world-space, row-major pixel order.  With `key`, pixel positions are
     jittered uniformly within each pixel (anti-aliasing); otherwise centered.
+
+    `y_offset`/`full_height` render a horizontal BAND of a larger film:
+    `height` rows starting at pixel row `y_offset` of a `full_height`-row
+    film (same NDC mapping as the full film).  y_offset may be traced — the
+    band-parallel path derives it from `jax.lax.axis_index` under shard_map.
     """
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
@@ -45,7 +52,8 @@ def camera_rays(
         px = px + 0.5
         py = py + 0.5
 
-    ndc = pixel_to_ndc(px, py, width, height)
+    py = py + jnp.asarray(y_offset, jnp.float32)
+    ndc = pixel_to_ndc(px, py, width, full_height or height)
     return rays_from_ndc(camera, ndc)
 
 
@@ -80,6 +88,8 @@ def camera_rays_tiled(
     height: int,
     key: Array | None = None,
     tile: tuple[int, int] = (128, 16),
+    y_offset: Array | int = 0,
+    full_height: int | None = None,
 ):
     """Primary rays in tile-major order; returns (o, d, inv_perm).
 
@@ -91,6 +101,13 @@ def camera_rays_tiled(
     are per-row bound (~23 ms / 4M rows), so the permutation gathers on
     o/d/radiance were costing more than an intersection pass; the inverse
     is then a pure reshape/transpose (unpermute_rows).
+
+    `y_offset`/`full_height`: render a `height`-row BAND starting at pixel
+    row y_offset of a full_height-row film (see camera_rays) — the
+    band-parallel render path (parallel.render_tile_parallel).  Because
+    tile-major order over the full film enumerates 16-row bands first, the
+    band's rays are exactly rows [y_offset*W, (y_offset+height)*W) of the
+    full film's tile-major stream when y_offset is a multiple of tile[1].
     """
     tw, th = tile
     if width % tw == 0 and height % th == 0:
@@ -108,10 +125,15 @@ def camera_rays_tiled(
         else:
             px = px + 0.5
             py = py + 0.5
-        o, d = rays_from_ndc(camera, pixel_to_ndc(px, py, width, height))
+        py = py + jnp.asarray(y_offset, jnp.float32)
+        o, d = rays_from_ndc(
+            camera, pixel_to_ndc(px, py, width, full_height or height)
+        )
         return o, d, None
     perm, inv = _tile_permutation(width, height, tile[0], tile[1])
-    o, d = camera_rays(camera, width, height, key=key)
+    o, d = camera_rays(
+        camera, width, height, key=key, y_offset=y_offset, full_height=full_height
+    )
     return o[jnp.asarray(perm)], d[jnp.asarray(perm)], jnp.asarray(inv)
 
 

@@ -16,14 +16,25 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: the reparam-under-grad tests compile for
-# minutes on XLA:CPU (and that compile is where the rare in-suite segfault
-# lives) — warm runs skip those compiles entirely.  Only slow compiles are
-# cached (>2s) to keep the directory small.  Gitignored; safe to delete.
-_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: do NOT enable jax_compilation_cache_dir here — this jaxlib's XLA:CPU
+# executable DESERIALIZATION segfaults (measured: crash inside
+# compilation_cache.get_executable_and_time on a scan-transpose executable),
+# so a persistent cache trades a slow compile for a hard crash.
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The suite's heaviest grad compiles (reparam warp) segfault XLA:CPU's
+    backend_compile ONLY when run late in a long shared process while
+    passing standalone — accumulated executables/tracing state is the one
+    variable.  Clearing per module keeps peak state bounded.
+    """
+    yield
+    jax.clear_caches()
