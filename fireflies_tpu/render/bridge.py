@@ -63,7 +63,9 @@ class SceneBridge:
         projector_fov: float = 30.0,
         projector_scale: float = 1.0,
         projector_texture=None,
+        projector_aperture=None,
         background=None,
+        background_to_world=None,
     ):
         self._scene = scene
         self._camera_fov = float(camera_fov)
@@ -71,6 +73,9 @@ class SceneBridge:
         self._camera_far = float(camera_far)
         self._projector_fov = float(projector_fov)
         self._projector_scale = float(projector_scale)
+        self._projector_aperture = (
+            float(projector_aperture) if projector_aperture is not None else None
+        )
         self._projector_texture = (
             np.asarray(projector_texture, np.float32)
             if projector_texture is not None
@@ -81,6 +86,11 @@ class SceneBridge:
         # (see sampling.base._as_f32).
         self._background = (
             np.asarray(background, np.float32) if background is not None else None
+        )
+        self._background_to_world = (
+            np.asarray(background_to_world, np.float32)
+            if background_to_world is not None
+            else None
         )
 
         # ---- static topology ------------------------------------------------
@@ -302,6 +312,26 @@ class SceneBridge:
                 )
                 cutoffs.append(jnp.cos(jnp.deg2rad(cutoff_deg)))
                 beams.append(jnp.cos(jnp.deg2rad(beam_deg)))
+            # Soft-shadow aperture radii: statically present only when some
+            # light declares one (defaults or a randomized `radius` key) —
+            # absent, NEE keeps the fast shared-origin occlusion kernel.
+            has_radius = any(
+                params.get(li.name() + ".radius") is not None
+                or li.defaults().get("radius") is not None
+                for li in light_ents
+            )
+            radii = None
+            if has_radius:
+                radii = jnp.stack([
+                    jnp.asarray(
+                        params.get(
+                            li.name() + ".radius",
+                            li.defaults().get("radius", 0.0),
+                        ),
+                        jnp.float32,
+                    ).reshape(())
+                    for li in light_ents
+                ])
             lights = Lights(
                 kinds=jnp.asarray(kinds, jnp.int32),
                 to_world=jnp.stack(to_worlds),
@@ -309,6 +339,7 @@ class SceneBridge:
                 cutoff_cos=jnp.stack(cutoffs),
                 beam_cos=jnp.stack(beams),
                 active=jnp.ones((len(light_ents),), bool),
+                radius=radii,
             )
         else:
             lights = Lights.empty()
@@ -346,6 +377,7 @@ class SceneBridge:
                 near=self._camera_near,
                 far=self._camera_far,
                 scale=self._projector_scale,
+                aperture=self._projector_aperture,
             )
 
         return RenderScene(
@@ -355,4 +387,5 @@ class SceneBridge:
             camera=camera,
             projector=projector,
             background=self._background,
+            background_to_world=self._background_to_world,
         )

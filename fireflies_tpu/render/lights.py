@@ -248,6 +248,35 @@ def emitter_positions(lights: Lights, projector: Optional[Projector]) -> list[Ar
     return positions
 
 
+def emitter_apertures(
+    lights: Lights, projector: Optional[Projector]
+) -> list[tuple[Array, Array, Array] | None]:
+    """Soft-shadow aperture spec per delta emitter, in total_incident order.
+
+    Each entry is None (hard shadow, shared-origin occlusion eligible) or
+    (radius (), x_axis (3,), y_axis (3,)) — the emitter's local XY disk in
+    world space, over which NEE visibility is averaged (one disk sample per
+    spp).  Statically gated: a Lights table / Projector without the
+    radius/aperture field costs nothing.
+    """
+    out: list = []
+    for i in range(lights.count):
+        if lights.radius is None:
+            out.append(None)
+        else:
+            out.append(
+                (lights.radius[i], lights.to_world[i, :3, 0], lights.to_world[i, :3, 1])
+            )
+    if projector is not None:
+        if projector.aperture is None:
+            out.append(None)
+        else:
+            out.append(
+                (projector.aperture, projector.to_world[:3, 0], projector.to_world[:3, 1])
+            )
+    return out
+
+
 def sample_area_light(
     geometry,
     materials,

@@ -46,6 +46,7 @@ from fireflies_tpu.render.texture import (
     bilinear_sample_stack_packed,
     pack_neighborhood_stack,
     pack_neighborhood_table,
+    sample_envmap,
 )
 from fireflies_tpu.render.types import RenderConfig, RenderScene
 from fireflies_tpu.render.vec3 import Vec3, from_array, splat
@@ -180,11 +181,18 @@ def trace_rays(
     radiance = Vec3(zeros, zeros, zeros)
     throughput = Vec3(ones, ones, ones)
     active = jnp.ones((n_rays,), bool)
-    background = splat(
-        scene.background
-        if scene.background is not None
-        else jnp.zeros(3, jnp.float32)
-    )
+    # Escape radiance: constant sky (3,) is splatted once; an (H, W, 3)
+    # envmap is sampled per escaped direction inside the bounce loop.
+    env_tex = None
+    if scene.background is not None and scene.background.ndim == 3:
+        env_tex = jnp.asarray(scene.background)  # bridge may hold host numpy
+        background = splat(jnp.zeros(3, jnp.float32))
+    else:
+        background = splat(
+            scene.background
+            if scene.background is not None
+            else jnp.zeros(3, jnp.float32)
+        )
     o_v = from_array(o)
     d_v = from_array(d)
     # One packed (F, 17) row per face: hit attributes then need ONE big
@@ -255,7 +263,20 @@ def trace_rays(
 
         # Background contribution for escaping rays, then retire them.
         escaped = active & ~hit.valid
-        radiance = radiance + throughput * background * jnp.where(escaped, 1.0, 0.0)
+        if env_tex is not None:
+            ex, ey, ez = d_v.x, d_v.y, d_v.z
+            if scene.background_to_world is not None:
+                # Pull the direction back into the envmap frame (R^T d).
+                r = scene.background_to_world[:3, :3]
+                ex, ey, ez = (
+                    r[0, 0] * ex + r[1, 0] * ey + r[2, 0] * ez,
+                    r[0, 1] * ex + r[1, 1] * ey + r[2, 1] * ez,
+                    r[0, 2] * ex + r[1, 2] * ey + r[2, 2] * ez,
+                )
+            bg = from_array(sample_envmap(env_tex, ex, ey, ez))
+        else:
+            bg = background
+        radiance = radiance + throughput * bg * jnp.where(escaped, 1.0, 0.0)
         active = active & hit.valid
 
         attrs = hit_attributes_table(o_v, d_v, hit, face_table, has_uvs)
@@ -312,6 +333,7 @@ def trace_rays(
             )
             rad_list = [one_v * (0.1 + 1e-20 * r.x) for r in rad_list]
         positions = lights_mod.emitter_positions(scene.lights, scene.projector)
+        apertures = lights_mod.emitter_apertures(scene.lights, scene.projector)
         for li, (wi_l, dist_l, rad_l) in enumerate(zip(wi_list, dist_list, rad_list)):
             lit = (rad_l.max_component() > 0.0) & active
             # Shadow origin offset to the side the light is on: thin
@@ -337,6 +359,35 @@ def trace_rays(
                 tmax_l = jnp.full_like(tmax_l, 1.0 - 1e-4)
             if _os.environ.get("FF_SKIP_OCCL"):  # perf-bisection knob
                 blocked = jnp.zeros(seg_d.shape[0], bool)
+            elif apertures[li] is not None:
+                # Soft-shadow aperture: jitter the OCCLUSION origin over the
+                # emitter's local-XY disk (one sample per spp pass; spp
+                # averages the penumbra).  Radiance/direction keep the delta
+                # model — only visibility is area-averaged, the dominant
+                # soft-shadow term.  Per-ray origins spread by the radius,
+                # so this pass uses the general (per-ray-origin) kernel.
+                radius_a, ax_a, ay_a = apertures[li]
+                ka = jax.random.fold_in(bkey, 101 + li)
+                u_ap = jax.random.uniform(ka, (2, n_rays))
+                rr = jnp.sqrt(u_ap[0]) * radius_a
+                th = (2.0 * jnp.pi) * u_ap[1]
+                cx = rr * jnp.cos(th)
+                cy = rr * jnp.sin(th)
+                light_o = (
+                    positions[li][None, :]
+                    + cx[:, None] * ax_a[None, :]
+                    + cy[:, None] * ay_a[None, :]
+                )
+                seg_ap = jax.lax.stop_gradient(shadow_o_arr - light_o)
+                blocked = occluded_any(
+                    jax.lax.stop_gradient(light_o),
+                    seg_ap,
+                    scene.geometry,
+                    t_min=1e-4,
+                    t_max=tmax_l,
+                    tri_chunk=config.tri_chunk,
+                    backend=config.backend,
+                )
             elif _os.environ.get("FF_OCCL_FORWARD"):  # perf-bisection knob
                 # Forward (receiver-origin) segments: per-ray origins stay
                 # tile-coherent so the general kernel's box prune applies.

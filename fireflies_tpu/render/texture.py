@@ -119,6 +119,23 @@ def bilinear_sample(texture: Array, uv: Array) -> Array:
     return top * (1 - fy) + bot * fy
 
 
+def sample_envmap(texture: Array, dx: Array, dy: Array, dz: Array) -> Array:
+    """Equirectangular environment lookup by world direction (Mitsuba
+    `envmap` emitter convention: u from atan2 around +Y, v = acos(y)/pi
+    with v=0 at +Y / image top).  Directions need not be unit.
+
+    texture: (H, W, 3); returns (N, 3) radiance.  Differentiable w.r.t.
+    the texture (and the direction, away from the u seam).
+    """
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+    x, y, z = dx * inv_len, dy * inv_len, dz * inv_len
+    u = jnp.arctan2(x, -z) * (0.5 / jnp.pi) + 0.5
+    # bilinear_sample's v axis points UP (v=1 = top row); +Y (acos=0) must
+    # land on the image top, i.e. v=1.
+    v = 1.0 - jnp.arccos(jnp.clip(y, -1.0, 1.0)) * (1.0 / jnp.pi)
+    return bilinear_sample(texture, jnp.stack([u, v], axis=-1))
+
+
 def bilinear_sample_stack(textures: Array, index: Array, uv: Array) -> Array:
     """Sample per-point textures from an (M, H, W, C) stack.
 

@@ -60,9 +60,14 @@ class Projector(struct.PyTreeNode):
     far: Array
     texture: Array  # (Ht, Wt, 3)
     scale: Array  # () intensity scale
+    # Optional soft-shadow aperture radius (): see Lights.radius.
+    aperture: Optional[Array] = None
 
     @classmethod
-    def create(cls, to_world, texture, fov=30.0, near=0.01, far=1000.0, scale=1.0):
+    def create(
+        cls, to_world, texture, fov=30.0, near=0.01, far=1000.0, scale=1.0,
+        aperture=None,
+    ):
         return cls(
             to_world=jnp.asarray(to_world, jnp.float32),
             fov=jnp.asarray(fov, jnp.float32).reshape(()),
@@ -70,6 +75,11 @@ class Projector(struct.PyTreeNode):
             far=jnp.asarray(far, jnp.float32).reshape(()),
             texture=jnp.asarray(texture, jnp.float32),
             scale=jnp.asarray(scale, jnp.float32).reshape(()),
+            aperture=(
+                jnp.asarray(aperture, jnp.float32).reshape(())
+                if aperture is not None
+                else None
+            ),
         )
 
 
@@ -87,6 +97,13 @@ class Lights(struct.PyTreeNode):
     cutoff_cos: Array  # (L,)
     beam_cos: Array  # (L,)
     active: Array  # (L,) bool
+    # Optional soft-shadow aperture radii (L,): when present, NEE visibility
+    # is averaged over a disk of this radius around each emitter (disk in
+    # the light's local XY plane), giving penumbrae while radiance keeps the
+    # delta model.  None (default) keeps exact hard shadows AND the fast
+    # shared-origin occlusion kernel; radius 0 with the field present is
+    # also hard but pays the general-kernel occlusion cost.
+    radius: Optional[Array] = None
 
     @property
     def count(self) -> int:
@@ -214,7 +231,13 @@ class RenderScene(struct.PyTreeNode):
     lights: Lights
     camera: Camera
     projector: Optional[Projector] = None
-    background: Optional[Array] = None  # (3,) radiance on miss
+    # Escape radiance: (3,) constant sky (Mitsuba `constant` emitter) or an
+    # (H, W, 3) equirectangular environment map (Mitsuba `envmap`), sampled
+    # by ray direction via texture.sample_envmap.
+    background: Optional[Array] = None
+    # Optional envmap orientation (4x4, rotation part used): directions are
+    # pulled back into the envmap's local frame before lookup.
+    background_to_world: Optional[Array] = None
 
 
 class Hit(struct.PyTreeNode):

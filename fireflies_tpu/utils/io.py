@@ -265,11 +265,141 @@ def load_ply(path: str | os.PathLike) -> dict:
     }
 
 
-def load_mesh(path: str | os.PathLike) -> dict:
-    """Format-dispatching mesh loader (.obj / .ply)."""
+_SERIALIZED_MAGIC = 0x041C
+# Mitsuba serialized-mesh flag bits (public format spec, Mitsuba docs
+# "Serialized mesh loader (serialized)").
+_MTS_HAS_NORMALS = 0x0001
+_MTS_HAS_TEXCOORDS = 0x0002
+_MTS_HAS_COLORS = 0x0008
+_MTS_SINGLE_PRECISION = 0x1000
+_MTS_DOUBLE_PRECISION = 0x2000
+
+
+def load_serialized(path: str | os.PathLike, shape_index: int = 0) -> dict:
+    """Mitsuba `.serialized` mesh loader (format 0x041C, versions 3/4).
+
+    Mitsuba scene XMLs in the wild (and Blender's Mitsuba exporter, which
+    the reference's README workflow relies on) commonly reference
+    `<shape type="serialized">` meshes; the reference loads them through
+    Mitsuba's C++ plugin (SURVEY.md L0).  Layout (public spec): a uint16
+    magic + uint16 version header per shape, each shape's body a zlib
+    stream; an offset dictionary (uint32 in v3, uint64 in v4) and a uint32
+    shape count close the file.  The inflated body: uint32 flags, a
+    null-terminated name (v3+), uint64 vertex/triangle counts, then
+    positions / normals / texcoords / colors / face indices per the flags.
+
+    Returns the same dict shape as load_obj/load_ply.
+    """
+    import struct
+    import zlib
+
+    raw = Path(path).read_bytes()
+    if len(raw) < 8:
+        raise ValueError(f"{path}: truncated serialized file")
+    magic, version = struct.unpack_from("<HH", raw, 0)
+    if magic != _SERIALIZED_MAGIC:
+        raise ValueError(f"{path}: bad magic 0x{magic:04X} (not .serialized)")
+    if version not in (3, 4):
+        raise ValueError(f"{path}: unsupported serialized version {version}")
+    (count,) = struct.unpack_from("<I", raw, len(raw) - 4)
+    osize = 8 if version >= 4 else 4
+    table_at = len(raw) - 4 - osize * count
+    if count == 0 or table_at < 4:
+        raise ValueError(f"{path}: corrupt shape dictionary")
+    offsets = struct.unpack_from(
+        f"<{count}{'Q' if version >= 4 else 'I'}", raw, table_at
+    )
+    if not 0 <= shape_index < count:
+        raise IndexError(f"{path}: shape_index {shape_index} of {count}")
+    start = offsets[shape_index] + 4  # skip the per-shape magic+version
+    end = offsets[shape_index + 1] if shape_index + 1 < count else table_at
+    body = zlib.decompress(raw[start:end])
+
+    pos = 0
+    (flags,) = struct.unpack_from("<I", body, pos)
+    pos += 4
+    if version >= 3:  # null-terminated shape name
+        pos = body.index(b"\0", pos) + 1
+    n_verts, n_tris = struct.unpack_from("<QQ", body, pos)
+    pos += 16
+    fdt = np.dtype("<f8") if flags & _MTS_DOUBLE_PRECISION else np.dtype("<f4")
+
+    def take(n, dt):
+        nonlocal pos
+        arr = np.frombuffer(body, dt, count=n, offset=pos)
+        pos += n * dt.itemsize
+        return arr
+
+    vertices = take(3 * n_verts, fdt).reshape(-1, 3).astype(np.float32)
+    normals = (
+        take(3 * n_verts, fdt).reshape(-1, 3).astype(np.float32)
+        if flags & _MTS_HAS_NORMALS
+        else None
+    )
+    uvs = (
+        take(2 * n_verts, fdt).reshape(-1, 2).astype(np.float32)
+        if flags & _MTS_HAS_TEXCOORDS
+        else None
+    )
+    if flags & _MTS_HAS_COLORS:
+        take(3 * n_verts, fdt)  # vertex colors: parsed, unused
+    idt = np.dtype("<u8") if n_verts > 0xFFFFFFFF else np.dtype("<u4")
+    faces = take(3 * n_tris, idt).reshape(-1, 3).astype(np.int32)
+    return {
+        "vertices": vertices,
+        "faces": faces,
+        "uvs": uvs,
+        "face_uvs": None,
+        "normals": normals,
+    }
+
+
+def save_serialized(path: str | os.PathLike, meshes: list[dict]) -> None:
+    """Write meshes (dicts with vertices/faces[/uvs/normals]) as a Mitsuba
+    `.serialized` v4 file — the OBJ->serialized converter direction, so
+    scenes authored here can feed a real Mitsuba parity run."""
+    import struct
+    import zlib
+
+    blobs = []
+    for m in meshes:
+        v = np.ascontiguousarray(m["vertices"], "<f4")
+        f = np.ascontiguousarray(m["faces"], "<u4")
+        uvs = m.get("uvs")
+        normals = m.get("normals")
+        flags = _MTS_SINGLE_PRECISION
+        if normals is not None:
+            flags |= _MTS_HAS_NORMALS
+        if uvs is not None:
+            flags |= _MTS_HAS_TEXCOORDS
+        body = struct.pack("<I", flags)
+        body += (str(m.get("name", "mesh")).encode() + b"\0")
+        body += struct.pack("<QQ", v.shape[0], f.shape[0])
+        body += v.tobytes()
+        if normals is not None:
+            body += np.ascontiguousarray(normals, "<f4").tobytes()
+        if uvs is not None:
+            body += np.ascontiguousarray(uvs, "<f4").tobytes()
+        body += f.tobytes()
+        blobs.append(struct.pack("<HH", _SERIALIZED_MAGIC, 4) + zlib.compress(body))
+
+    out = b""
+    offsets = []
+    for blob in blobs:
+        offsets.append(len(out))
+        out += blob
+    out += struct.pack(f"<{len(blobs)}Q", *offsets)
+    out += struct.pack("<I", len(blobs))
+    Path(path).write_bytes(out)
+
+
+def load_mesh(path: str | os.PathLike, shape_index: int = 0) -> dict:
+    """Format-dispatching mesh loader (.obj / .ply / .serialized)."""
     suffix = Path(path).suffix.lower()
     if suffix == ".ply":
         return load_ply(path)
+    if suffix == ".serialized":
+        return load_serialized(path, shape_index=shape_index)
     return load_obj(path)
 
 

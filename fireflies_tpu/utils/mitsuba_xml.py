@@ -159,11 +159,10 @@ def load_mitsuba_xml(path: str | Path) -> tuple[dict, dict]:
             name = shape_name(node, f"mesh_{mesh_i}")
             mesh_i += 1
             if stype in ("obj", "ply", "serialized"):
-                if stype == "serialized":
-                    raise NotImplementedError(
-                        "shape type serialized: convert to OBJ/PLY"
-                    )
-                data = ffio.load_mesh(base / props["filename"])
+                data = ffio.load_mesh(
+                    base / props["filename"],
+                    shape_index=int(props.get("shape_index", 0)),
+                )
                 verts, faces = data["vertices"], data["faces"]
             elif stype in _PRIMITIVE_SHAPES:
                 verts, faces = _PRIMITIVE_SHAPES[stype]()
@@ -210,6 +209,18 @@ def load_mitsuba_xml(path: str | Path) -> tuple[dict, dict]:
                         meta["projector_texture_path"] = str(base / tp["filename"])
                 if "scale" in props:
                     meta["projector_scale"] = float(props["scale"])
+            elif etype == "constant":
+                # Uniform sky: RenderScene.background radiance on escape.
+                rad = np.asarray(props.get("radiance", 1.0), np.float32)
+                meta["background"] = np.broadcast_to(rad.reshape(-1), (3,)).copy()
+            elif etype == "envmap":
+                # Equirectangular environment emitter: a (H, W, 3) background
+                # sampled by escaped-ray direction (render/texture.py
+                # sample_envmap).  LDR textures only (utils/png.py).
+                meta["envmap_path"] = str(base / props["filename"])
+                meta["envmap_scale"] = float(props.get("scale", 1.0))
+                if "to_world" in props:
+                    meta["envmap_to_world"] = props["to_world"]
             else:
                 name = eid if eid.lower().startswith(("emit", "light", "spot")) else f"emit-{eid}"
                 params[name + ".to_world"] = props.get("to_world", np.eye(4, dtype=np.float32))
@@ -258,4 +269,15 @@ def scene_from_mitsuba_xml(path: str | Path):
     }
     if "projector_scale" in meta:
         bridge_kwargs["projector_scale"] = meta["projector_scale"]
+    if "envmap_path" in meta:
+        from fireflies_tpu.utils.png import read_png  # noqa: PLC0415
+
+        env = read_png(meta["envmap_path"]).astype(np.float32) / 255.0
+        if env.ndim == 2:
+            env = np.repeat(env[..., None], 3, axis=-1)
+        bridge_kwargs["background"] = env[..., :3] * meta.get("envmap_scale", 1.0)
+        if "envmap_to_world" in meta:
+            bridge_kwargs["background_to_world"] = meta["envmap_to_world"]
+    elif "background" in meta:
+        bridge_kwargs["background"] = meta["background"]
     return scene, bridge_kwargs, meta
