@@ -34,6 +34,7 @@ than ported — a per-ray divergent BVH walk does not map to the VPU.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -217,12 +218,17 @@ def _kernel_general_culled(
     inv_dy = safe_inv(dy)
     inv_dz = safe_inv(dz)
 
-    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    # Rational best-hit carry (tn, dn), dn = |det| > 0: no per-(ray, tri)
+    # division; one div per (cluster, tile) for the slab clip and one at the
+    # end.  Cf. intersect_kernel._kernel / _kernel_shared.
+    best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
     def cluster_body(ci, carry):
         c = list_ref[row, ci]
-        best_t, best_p = carry
+        best_tn, best_dn, best_p = carry
+        best_t = best_tn / best_dn
         t0x = (box_ref[0, c] - ox) * inv_dx
         t1x = (box_ref[3, c] - ox) * inv_dx
         t0y = (box_ref[1, c] - oy) * inv_dy
@@ -241,7 +247,7 @@ def _kernel_general_culled(
 
         def process(carry):
             def tri_body(j, carry2):
-                bt, bp = carry2
+                btn, bdn, bp = carry2
                 idx = c * chunk + j
                 v0x = tri_ref[0, idx]
                 v0y = tri_ref[1, idx]
@@ -257,30 +263,52 @@ def _kernel_general_culled(
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
                 det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
 
                 tx = ox - v0x
                 ty = oy - v0y
                 tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
+                if _os.environ.get("FF_MT_DIV"):  # perf-bisection knob
+                    inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) >= 1e-9)
+                        & (u >= -_EPS_BARY)
+                        & (v >= -_EPS_BARY)
+                        & (u + v <= 1.0 + _EPS_BARY)
+                        & (t > t_min)
+                        & (t < tmax)
+                        & (t * bdn < btn)
+                    )
+                    btn = jnp.where(ok, t, btn)
+                    bp = jnp.where(ok, idx, bp)
+                    return btn, bdn, bp
+
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                dn = det * sgn  # |det|
+                un = (tx * px + ty * py + tz * pz) * sgn
+                vn = (dx * qx + dy * qy + dz * qz) * sgn
+                tn = (e2x * qx + e2y * qy + e2z * qz) * sgn
+
+                eb = _EPS_BARY * dn
                 ok = (
-                    (jnp.abs(det) >= 1e-9)
-                    & (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
+                    (dn >= 1e-9)
+                    & (un >= -eb)
+                    & (vn >= -eb)
+                    & (un + vn <= dn + eb)
+                    & (tn > t_min * dn)
+                    & (tn < tmax * dn)
+                    & (tn * bdn < btn * dn)
                 )
-                bt = jnp.where(ok, t, bt)
+                btn = jnp.where(ok, tn, btn)
+                bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, idx, bp)
-                return bt, bp
+                return btn, bdn, bp
 
             def unrolled(jj, carry2):
                 for k in range(unroll):
@@ -289,7 +317,9 @@ def _kernel_general_culled(
 
             return jax.lax.fori_loop(0, chunk // unroll, unrolled, carry)
 
-        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+        return jax.lax.cond(
+            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
+        )
 
     def while_body(carry):
         ci, state = carry
@@ -298,17 +328,17 @@ def _kernel_general_culled(
     if any_hit:
         def while_cond(carry):
             ci, state = carry
-            return (ci < n_listed) & ~jnp.all((state[1] >= 0) | dead)
+            return (ci < n_listed) & ~jnp.all((state[2] >= 0) | dead)
     else:
         def while_cond(carry):
             ci, _state = carry
             return ci < n_listed
 
-    _, (best_t, best_p) = jax.lax.while_loop(
-        while_cond, while_body, (0, (best_t0, best_p0))
+    _, (best_tn, best_dn, best_p) = jax.lax.while_loop(
+        while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
     )
 
-    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
 
 

@@ -191,11 +191,18 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
     inv_dy = safe_inv(dy)
     inv_dz = safe_inv(dz)
 
-    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    # Best hit carried as a RATIONAL (tn, dn) with dn = |det| > 0: the MT
+    # test needs t = (e2.q)/det only for comparisons, and every comparison
+    # cross-multiplies instead — no per-(ray, triangle) division (the VPU
+    # divide is many-cycle).  One real division per chunk for the slab clip
+    # and one at the end.  Cf. _kernel_shared.
+    best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
     def chunk_body(c, carry):
-        best_t, best_p = carry
+        best_tn, best_dn, best_p = carry
+        best_t = best_tn / best_dn  # one div per (chunk, tile) for the slab
         bx0 = box_ref[0, c]
         by0 = box_ref[1, c]
         bz0 = box_ref[2, c]
@@ -221,7 +228,7 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
 
         def process(carry):
             def tri_body(j, carry2):
-                bt, bp = carry2
+                btn, bdn, bp = carry2
                 idx = c * chunk + j
                 v0x = tri_ref[0, idx]
                 v0y = tri_ref[1, idx]
@@ -237,30 +244,52 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
                 det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
 
                 tx = ox - v0x
                 ty = oy - v0y
                 tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
+                if _os.environ.get("FF_MT_DIV"):  # perf-bisection knob
+                    inv_det = jnp.where(jnp.abs(det) < _EPS_DET, 0.0, 1.0 / det)
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) >= _EPS_DET)
+                        & (u >= -_EPS_BARY)
+                        & (v >= -_EPS_BARY)
+                        & (u + v <= 1.0 + _EPS_BARY)
+                        & (t > t_min)
+                        & (t < tmax)
+                        & (t * bdn < btn)
+                    )
+                    btn = jnp.where(ok, t, btn)
+                    bp = jnp.where(ok, idx, bp)
+                    return btn, bdn, bp
+
+                sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+                dn = det * sgn  # |det|
+                un = (tx * px + ty * py + tz * pz) * sgn
+                vn = (dx * qx + dy * qy + dz * qz) * sgn
+                tn = (e2x * qx + e2y * qy + e2z * qz) * sgn
+
+                eb = _EPS_BARY * dn
                 ok = (
-                    (jnp.abs(det) >= _EPS_DET)
-                    & (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
+                    (dn >= _EPS_DET)
+                    & (un >= -eb)
+                    & (vn >= -eb)
+                    & (un + vn <= dn + eb)
+                    & (tn > t_min * dn)
+                    & (tn < tmax * dn)
+                    & (tn * bdn < btn * dn)
                 )
-                bt = jnp.where(ok, t, bt)
+                btn = jnp.where(ok, tn, btn)
+                bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, idx, bp)
-                return bt, bp
+                return btn, bdn, bp
 
             unroll_ = unroll or int(_os.environ.get("FF_TRI_UNROLL", 4))
 
@@ -271,7 +300,9 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
 
             return jax.lax.fori_loop(0, chunk // unroll_, unrolled, carry)
 
-        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+        return jax.lax.cond(
+            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
+        )
 
     # Rays with tmax < 0 are dead (retired paths / padding): they can never
     # register a hit, so they count as done for early exits, and an all-dead
@@ -281,7 +312,7 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
     def all_done(carry):
         # Any-hit early out: once every ray in the tile is blocked (or dead),
         # stop.
-        _, best_p = carry
+        _, _, best_p = carry
         return jnp.all((best_p >= 0) | dead)
 
     if any_hit:
@@ -293,14 +324,16 @@ def _kernel(rays_ref, tmax_ref, tri_ref, box_ref, out_t_ref, out_prim_ref, *, t_
             c, state = carry
             return (c < n_chunks) & ~all_done(state)
 
-        _, (best_t, best_p) = jax.lax.while_loop(
-            while_cond, while_body, (0, (best_t0, best_p0))
+        _, (best_tn, best_dn, best_p) = jax.lax.while_loop(
+            while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
         )
     else:
         n_eff = jnp.where(jnp.all(dead), 0, n_chunks)
-        best_t, best_p = jax.lax.fori_loop(0, n_eff, chunk_body, (best_t0, best_p0))
+        best_tn, best_dn, best_p = jax.lax.fori_loop(
+            0, n_eff, chunk_body, (best_tn0, best_dn0, best_p0)
+        )
 
-    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
 
 

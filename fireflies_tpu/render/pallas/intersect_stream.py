@@ -95,11 +95,16 @@ def _kernel_stream(
 
     dma(0, 0).start()
 
-    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    # Rational best-hit carry (tn, dn), dn = |d'_z| > 0: no per-(ray, tri)
+    # division; one div per (chunk, tile) for the slab clip and one at the
+    # end.  Cf. intersect_kernel._kernel_shared.
+    best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
     def chunk_body(c, carry):
-        best_t, best_p = carry
+        best_tn, best_dn, best_p = carry
+        best_t = best_tn / best_dn
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -134,7 +139,7 @@ def _kernel_stream(
 
         def process(carry):
             def tri_body(j, carry2):
-                bt, bp = carry2
+                btn, bdn, bp = carry2
                 w00 = scratch[slot, 0, j]
                 w01 = scratch[slot, 1, j]
                 w02 = scratch[slot, 2, j]
@@ -159,23 +164,26 @@ def _kernel_stream(
                     o_y = w10 * ox + w11 * oy + w12 * oz - opy
                     o_z = w20 * ox + w21 * oy + w22 * oz - opz
 
-                tiny = jnp.abs(dpz) < 1e-12
-                inv_dpz = jnp.where(tiny, 0.0, 1.0 / jnp.where(tiny, 1.0, dpz))
-                t = -o_z * inv_dpz
-                u = o_x + t * dpx
-                v = o_y + t * dpy
+                # Division-free: t = tn / dn, dn = |d'_z|; comparisons and
+                # the u/v tests cross-multiply by dn (VPU div is many-cycle).
+                sgn = jnp.where(dpz >= 0.0, 1.0, -1.0)
+                dn = dpz * sgn
+                tn = -o_z * sgn
+                u_n = o_x * dn + tn * dpx
+                v_n = o_y * dn + tn * dpy
                 ok = (
-                    ~tiny
-                    & (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
+                    (dn > 1e-12)
+                    & (u_n >= -_EPS_BARY * dn)
+                    & (v_n >= -_EPS_BARY * dn)
+                    & (u_n + v_n <= (1.0 + _EPS_BARY) * dn)
+                    & (tn > t_min * dn)
+                    & (tn < tmax * dn)
+                    & (tn * bdn < btn * dn)
                 )
-                bt = jnp.where(ok, t, bt)
+                btn = jnp.where(ok, tn, btn)
+                bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
-                return bt, bp
+                return btn, bdn, bp
 
             def unrolled(jj, carry2):
                 for k in range(4):
@@ -184,7 +192,9 @@ def _kernel_stream(
 
             return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
 
-        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+        return jax.lax.cond(
+            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
+        )
 
     # Dead rays (tmax < 0: retired paths / padding) count as done for the
     # any-hit early exit; an all-dead tile runs zero chunks either way.
@@ -197,7 +207,7 @@ def _kernel_stream(
     if any_hit:
         def while_cond(carry):
             c, state = carry
-            return (c < n_chunks) & ~jnp.all((state[1] >= 0) | dead)
+            return (c < n_chunks) & ~jnp.all((state[2] >= 0) | dead)
     else:
         n_eff = jnp.where(jnp.all(dead), 0, n_chunks)
 
@@ -205,8 +215,8 @@ def _kernel_stream(
             c, _state = carry
             return c < n_eff
 
-    c_fin, (best_t, best_p) = jax.lax.while_loop(
-        while_cond, while_body, (0, (best_t0, best_p0))
+    c_fin, (best_tn, best_dn, best_p) = jax.lax.while_loop(
+        while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
     )
 
     # Drain: an early exit leaves the prefetch for chunk c_fin in
@@ -216,7 +226,7 @@ def _kernel_stream(
     def _():
         dma(c_fin % 2, c_fin).wait()
 
-    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
 
 
@@ -266,11 +276,14 @@ def _kernel_stream_culled(
     def _():
         dma(0, listed(0)).start()
 
-    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    # Rational best-hit carry (tn, dn): see _kernel_stream.
+    best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
     def cluster_body(ci, carry):
-        best_t, best_p = carry
+        best_tn, best_dn, best_p = carry
+        best_t = best_tn / best_dn
         c = listed(ci)
         slot = ci % 2
 
@@ -298,7 +311,7 @@ def _kernel_stream_culled(
 
         def process(carry):
             def tri_body(j, carry2):
-                bt, bp = carry2
+                btn, bdn, bp = carry2
                 w00 = scratch[slot, 0, j]
                 w01 = scratch[slot, 1, j]
                 w02 = scratch[slot, 2, j]
@@ -316,23 +329,24 @@ def _kernel_stream_culled(
                 dpy = w10 * dx + w11 * dy + w12 * dz
                 dpz = w20 * dx + w21 * dy + w22 * dz
 
-                tiny = jnp.abs(dpz) < 1e-12
-                inv_dpz = jnp.where(tiny, 0.0, 1.0 / jnp.where(tiny, 1.0, dpz))
-                t = -opz * inv_dpz
-                u = opx + t * dpx
-                v = opy + t * dpy
+                sgn = jnp.where(dpz >= 0.0, 1.0, -1.0)
+                dn = dpz * sgn
+                tn = -opz * sgn
+                u_n = opx * dn + tn * dpx
+                v_n = opy * dn + tn * dpy
                 ok = (
-                    ~tiny
-                    & (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
+                    (dn > 1e-12)
+                    & (u_n >= -_EPS_BARY * dn)
+                    & (v_n >= -_EPS_BARY * dn)
+                    & (u_n + v_n <= (1.0 + _EPS_BARY) * dn)
+                    & (tn > t_min * dn)
+                    & (tn < tmax * dn)
+                    & (tn * bdn < btn * dn)
                 )
-                bt = jnp.where(ok, t, bt)
+                btn = jnp.where(ok, tn, btn)
+                bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
-                return bt, bp
+                return btn, bdn, bp
 
             def unrolled(jj, carry2):
                 for k in range(4):
@@ -341,7 +355,9 @@ def _kernel_stream_culled(
 
             return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
 
-        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+        return jax.lax.cond(
+            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
+        )
 
     def while_body(carry):
         ci, state = carry
@@ -350,14 +366,14 @@ def _kernel_stream_culled(
     if any_hit:
         def while_cond(carry):
             ci, state = carry
-            return (ci < n_listed) & ~jnp.all((state[1] >= 0) | dead)
+            return (ci < n_listed) & ~jnp.all((state[2] >= 0) | dead)
     else:
         def while_cond(carry):
             ci, _state = carry
             return ci < n_listed
 
-    ci_fin, (best_t, best_p) = jax.lax.while_loop(
-        while_cond, while_body, (0, (best_t0, best_p0))
+    ci_fin, (best_tn, best_dn, best_p) = jax.lax.while_loop(
+        while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
     )
 
     # Drain: an early exit (any-hit) leaves the prefetch for cluster ci_fin
@@ -367,7 +383,7 @@ def _kernel_stream_culled(
     def _():
         dma(ci_fin % 2, listed(ci_fin)).wait()
 
-    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
 
 
@@ -752,11 +768,14 @@ def _kernel_stream_general_culled(
     def _():
         dma(0, listed(0)).start()
 
-    best_t0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    # Rational best-hit carry (tn, dn): see _kernel_stream.
+    best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
+    best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
 
     def cluster_body(ci, carry):
-        best_t, best_p = carry
+        best_tn, best_dn, best_p = carry
+        best_t = best_tn / best_dn
         c = listed(ci)
         slot = ci % 2
 
@@ -784,7 +803,7 @@ def _kernel_stream_general_culled(
 
         def process(carry):
             def tri_body(j, carry2):
-                bt, bp = carry2
+                btn, bdn, bp = carry2
                 w00 = scratch[slot, 0, j]
                 w01 = scratch[slot, 1, j]
                 w02 = scratch[slot, 2, j]
@@ -803,23 +822,24 @@ def _kernel_stream_general_culled(
                 dpy = w10 * dx + w11 * dy + w12 * dz
                 dpz = w20 * dx + w21 * dy + w22 * dz
 
-                tiny = jnp.abs(dpz) < 1e-12
-                inv_dpz = jnp.where(tiny, 0.0, 1.0 / jnp.where(tiny, 1.0, dpz))
-                t = -opz * inv_dpz
-                u = opx + t * dpx
-                v = opy + t * dpy
+                sgn = jnp.where(dpz >= 0.0, 1.0, -1.0)
+                dn = dpz * sgn
+                tn = -opz * sgn
+                u_n = opx * dn + tn * dpx
+                v_n = opy * dn + tn * dpy
                 ok = (
-                    ~tiny
-                    & (u >= -_EPS_BARY)
-                    & (v >= -_EPS_BARY)
-                    & (u + v <= 1.0 + _EPS_BARY)
-                    & (t > t_min)
-                    & (t < tmax)
-                    & (t < bt)
+                    (dn > 1e-12)
+                    & (u_n >= -_EPS_BARY * dn)
+                    & (v_n >= -_EPS_BARY * dn)
+                    & (u_n + v_n <= (1.0 + _EPS_BARY) * dn)
+                    & (tn > t_min * dn)
+                    & (tn < tmax * dn)
+                    & (tn * bdn < btn * dn)
                 )
-                bt = jnp.where(ok, t, bt)
+                btn = jnp.where(ok, tn, btn)
+                bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
-                return bt, bp
+                return btn, bdn, bp
 
             def unrolled(jj, carry2):
                 for k in range(4):
@@ -828,7 +848,9 @@ def _kernel_stream_general_culled(
 
             return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
 
-        return jax.lax.cond(tile_hits, process, lambda x: x, (best_t, best_p))
+        return jax.lax.cond(
+            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
+        )
 
     def while_body(carry):
         ci, state = carry
@@ -837,21 +859,21 @@ def _kernel_stream_general_culled(
     if any_hit:
         def while_cond(carry):
             ci, state = carry
-            return (ci < n_listed) & ~jnp.all((state[1] >= 0) | dead)
+            return (ci < n_listed) & ~jnp.all((state[2] >= 0) | dead)
     else:
         def while_cond(carry):
             ci, _state = carry
             return ci < n_listed
 
-    ci_fin, (best_t, best_p) = jax.lax.while_loop(
-        while_cond, while_body, (0, (best_t0, best_p0))
+    ci_fin, (best_tn, best_dn, best_p) = jax.lax.while_loop(
+        while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
     )
 
     @pl.when(ci_fin < n_listed)
     def _():
         dma(ci_fin % 2, listed(ci_fin)).wait()
 
-    out_t_ref[...] = jnp.where(best_p >= 0, best_t, 0.0)
+    out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
 
 

@@ -150,6 +150,20 @@ def probe_kernel(size=512, n_iter=30):
                 "general_bounce",
                 lambda dd: intersect_pallas(p, dd, verts, faces)[0],
             ))
+            # Bigger cluster chunks cut the serial slab-scan count (the
+            # dominant general-pass cost at small scenes: ~0.35us per
+            # (cluster, tile) iteration) at the price of coarser boxes —
+            # irrelevant for bounce rays whose tiles can't cull anyway.
+            for ch in (32, 64, 128):
+                variants.append((
+                    f"general_bounce_c{ch}",
+                    functools.partial(
+                        lambda dd, _c: intersect_pallas(
+                            p, dd, verts, faces, chunk=_c
+                        )[0],
+                        _c=ch,
+                    ),
+                ))
             d_general = dr
         if "genculled" in which and resident_ok:
             from fireflies_tpu.render.intersect import closest_hit
