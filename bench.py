@@ -26,14 +26,10 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
-
-from fireflies_tpu.assets import scenes as ff_scenes
-from fireflies_tpu.projection import laser as laser_mod
-from fireflies_tpu.render import RenderConfig, SceneBridge, render_rgb
+# Device-touching imports live inside measure(): fireflies' module-level
+# jnp constants initialize the axon backend at import time, and with the
+# TPU tunnel down that hangs the WATCHDOG parent before main() ever runs
+# (the whole point of the subprocess watchdog is to survive that).
 
 BASELINE_PER_CHIP = 12.5  # >=100 diff-renders/sec on a v5e-8 (BASELINE.md)
 
@@ -47,6 +43,7 @@ def measure(
     batch: int = 16,
     tri_chunk: int = 512,
     ray_chunk: int = 0,
+    smooth: int = 0,
 ) -> dict:
     """One pattern-optimization throughput measurement.
 
@@ -59,7 +56,18 @@ def measure(
     dispatches through the axon tunnel carry tens of ms of overhead and are
     NOT trustworthy).
     """
-    scene, kw = ff_scenes.vocalfold(resolution=resolution, n_anim_frames=4)
+    import numpy as np  # noqa: PLC0415
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+    from fireflies_tpu.assets import scenes as ff_scenes  # noqa: PLC0415
+    from fireflies_tpu.projection import laser as laser_mod  # noqa: PLC0415
+    from fireflies_tpu.render import (  # noqa: PLC0415
+        RenderConfig, SceneBridge, render_rgb,
+    )
+
+    scene, kw = ff_scenes.vocalfold(
+        resolution=resolution, n_anim_frames=4, smooth=bool(smooth)
+    )
     bridge = SceneBridge(scene, **kw)
     randomize = scene.compile()
     cfg = RenderConfig(
@@ -123,7 +131,8 @@ def measure(
     return {
         "metric": (
             f"{size}x{size} diff-renders/sec/chip "
-            f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces})"
+            f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces}"
+            + (", smooth" if smooth else "") + ")"
         ),
         "value": round(renders_per_sec, 3),
         "unit": "renders/sec/chip",
@@ -147,14 +156,44 @@ VARIANTS = [
     dict(resolution=75, repeats=10),                # ~11.6k faces
     dict(resolution=75, spp=4, repeats=5, batch=8), # ~11.6k faces, spp 4
     dict(resolution=160, repeats=5, batch=8),       # ~51k faces
+    dict(smooth=1),                                 # Mitsuba-parity shading
 ]
 
 
 _ENV_OF = {
     "size": "BENCH_SIZE", "spp": "BENCH_SPP", "bounces": "BENCH_BOUNCES",
     "repeats": "BENCH_REPEATS", "resolution": "BENCH_RESOLUTION",
-    "batch": "BENCH_BATCH",
+    "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
 }
+
+
+def _run_one_subprocess(extra_env: dict, timeout_s: int) -> dict | None:
+    """Run a single-measurement bench.py subprocess; None on failure/hang.
+
+    The axon TPU tunnel can go down for hours at a time; a hung dispatch
+    would otherwise stall the whole matrix (and the driver's round-end
+    bench) with nothing recorded.
+    """
+    env = dict(os.environ)
+    env.pop("BENCH_VARIANTS", None)
+    env["BENCH_NO_WATCHDOG"] = "1"
+    env.update({k: str(v) for k, v in extra_env.items()})
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# bench subprocess timed out after {timeout_s}s "
+              f"(env={extra_env}) — TPU tunnel stalled?", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        tail = "\n".join(proc.stderr.strip().splitlines()[-5:])
+        print(f"# bench subprocess failed (env={extra_env}):\n{tail}",
+              file=sys.stderr)
+        return None
+    lines = proc.stdout.strip().splitlines()
+    return json.loads(lines[-1]) if lines else None
 
 
 def main() -> None:
@@ -162,22 +201,38 @@ def main() -> None:
         # One SUBPROCESS per variant: the end-of-measurement host readback
         # poisons every later dispatch in its process (axon tunnel
         # pathology, CLAUDE.md), so measurements must not share a process.
+        # Failures/hangs skip the variant instead of aborting the matrix.
+        timeout_s = int(os.environ.get("BENCH_VARIANT_TIMEOUT", 2400))
         results = []
         for v in VARIANTS:
-            env = dict(os.environ)
-            env.pop("BENCH_VARIANTS")
-            for k, val in v.items():
-                env[_ENV_OF[k]] = str(val)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout.strip().splitlines()[-1]
-            r = json.loads(out)
+            r = _run_one_subprocess(
+                {_ENV_OF[k]: val for k, val in v.items()}, timeout_s)
+            if r is None:
+                continue
             print(json.dumps(r), flush=True)
             results.append(r)
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_VARIANTS.json"), "w") as f:
             json.dump(results, f, indent=1)
+        return
+
+    if not os.environ.get("BENCH_NO_WATCHDOG"):
+        # Driver contract path: guarantee ONE JSON line even when the TPU
+        # tunnel hangs mid-run.  The measurement runs in a subprocess under
+        # a timeout, with one retry (outages are often transient).
+        timeout_s = int(os.environ.get("BENCH_TIMEOUT", 1800))
+        for attempt in range(2):
+            r = _run_one_subprocess({}, timeout_s)
+            if r is not None:
+                print(json.dumps(r))
+                return
+            if attempt == 0:
+                time.sleep(60)
+        print(json.dumps({
+            "metric": "512x512 diff-renders/sec/chip (vocalfold)",
+            "value": 0.0, "unit": "renders/sec/chip", "vs_baseline": 0.0,
+            "error": "TPU unreachable: bench subprocess hung/failed twice",
+        }))
         return
 
     r = measure(
@@ -188,6 +243,7 @@ def main() -> None:
         resolution=int(os.environ.get("BENCH_RESOLUTION", 24)),
         batch=int(os.environ.get("BENCH_BATCH", 16)),
         ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)) or 0,
+        smooth=int(os.environ.get("FF_SMOOTH", 0)),
     )
     print(json.dumps(r))  # driver contract: ONE JSON line
 

@@ -101,18 +101,24 @@ def vocalfold(
     n_anim_frames: int = 8,
     with_projector: bool = True,
     projector_texture=None,
+    smooth: bool = False,
 ):
     """The flagship structured-light laryngoscopy scene (reference main.py).
 
     Supraglottal view: camera above the folds looking down -Z-ish; a spot
     light co-located with the camera (endoscope illumination); a laser
     projector slightly offset (structured light baseline).
+
+    smooth=True turns on Phong vertex-normal shading for both meshes —
+    Mitsuba's default for loaded OBJs, so this is the parity-faithful
+    setting; flat stays the default to keep goldens/bench comparable
+    (FF_SMOOTH=1 selects the smooth bench variant).
     """
     scene = ff.Scene()
 
     vf_verts, vf_faces, vf_uvs = procedural.make_vocalfold(resolution=resolution)
     centroid = vf_verts.mean(0)
-    vf = ff.Mesh("mesh-Vocalfold", vf_verts - centroid, vf_faces, vf_uvs)
+    vf = ff.Mesh("mesh-Vocalfold", vf_verts - centroid, vf_faces, vf_uvs, smooth=smooth)
     vf.set_centroid(centroid)
     frames = procedural.vocalfold_animation_frames(n_anim_frames, resolution=resolution)
     vf.add_animation(frames - centroid, frames - centroid)
@@ -124,7 +130,7 @@ def vocalfold(
     )
     tube_world = np.eye(4, dtype=np.float32)
     tube_world[:3, 3] = [0.0, 0.0, 2.0]
-    larynx = ff.Mesh("mesh-Larynx", tube_verts, tube_faces, tube_uvs)
+    larynx = ff.Mesh("mesh-Larynx", tube_verts, tube_faces, tube_uvs, smooth=smooth)
     larynx.set_world(tube_world)
     scene.add_mesh(larynx, material="mat-Tissue")
 

@@ -30,15 +30,22 @@ Array = jax.Array
 
 
 class Mesh(Transformable):
-    def __init__(self, name: str, vertices, faces=None, uvs=None):
+    def __init__(self, name: str, vertices, faces=None, uvs=None, smooth=False):
         """`vertices` should be centroid-aligned (the Scene loader aligns and
-        stores the centroid, reference scene.py:118-132)."""
+        stores the centroid, reference scene.py:118-132).
+
+        smooth=True enables Phong-interpolated vertex normals for shading
+        (Mitsuba's mesh default unless face_normals=true): the renderer
+        recomputes area-weighted vertex normals from the randomized
+        vertices each variant, so they stay consistent under animation and
+        differentiable w.r.t. the geometry."""
         super().__init__(name)
         self._vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         self._faces = (
             np.asarray(faces, np.int32).reshape(-1, 3) if faces is not None else None
         )
         self._uvs = np.asarray(uvs, np.float32) if uvs is not None else None
+        self._smooth = bool(smooth)
 
         ones = np.ones(3, np.float32)
         self._scale_sampler: sampling.Sampler = sampling.UniformSampler.create(ones, ones)
@@ -120,6 +127,12 @@ class Mesh(Transformable):
         self._anim_data_train = np.asarray(data, np.float32)
 
     # -- geometry access ----------------------------------------------------------
+
+    def smooth(self) -> bool:
+        return self._smooth
+
+    def set_smooth(self, smooth: bool = True) -> None:
+        self._smooth = bool(smooth)
 
     def faces(self) -> Optional[np.ndarray]:
         return self._faces

@@ -122,6 +122,20 @@ class SceneBridge:
         self._face_mat = np.concatenate(face_mat)
         self._uvs = np.concatenate(uvs_list).astype(np.float32) if any_uv else None
 
+        # Smooth-shading vertex mask: 1.0 on vertices of meshes flagged
+        # smooth (Mesh(..., smooth=True) / set_smooth()).  Vertex normals
+        # are recomputed per assembled variant from the randomized vertices;
+        # zeroed rows (flat meshes) fall back to the geometric normal in
+        # hit_attributes (mixed flat/smooth geometry in one flat Geometry).
+        smooth_rows = []
+        for mesh in scene.meshes():
+            is_smooth = bool(getattr(mesh, "smooth", lambda: False)())
+            smooth_rows.append(
+                np.full(mesh.num_vertices(), 1.0 if is_smooth else 0.0, np.float32)
+            )
+        mask = np.concatenate(smooth_rows) if smooth_rows else np.zeros(0, np.float32)
+        self._smooth_mask = mask if mask.any() else None
+
         # Morton-order faces by rest-pose centroid so the Pallas kernels'
         # consecutive-face clusters are spatially tight (static topology:
         # ordering survives randomization).
@@ -189,9 +203,20 @@ class SceneBridge:
         verts = jnp.concatenate(
             [params[name + ".vertex_positions"] for name in self._mesh_names]
         )
+        normals = None
+        if self._smooth_mask is not None:
+            from fireflies_tpu.render.types import (  # noqa: PLC0415
+                compute_vertex_normals,
+            )
+
+            normals = (
+                compute_vertex_normals(verts, jnp.asarray(self._faces))
+                * jnp.asarray(self._smooth_mask)[:, None]
+            )
         geometry = Geometry(
             vertices=verts,
             faces=jnp.asarray(self._faces),
+            normals=normals,
             face_mat=jnp.asarray(self._face_mat),
             face_mesh=jnp.asarray(self._face_mesh),
             uvs=jnp.asarray(self._uvs) if self._uvs is not None else None,

@@ -442,6 +442,13 @@ def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    # Miss lanes re-derive against an arbitrary (wrapped) face; a ray nearly
+    # parallel to that plane yields huge u/v/t whose downstream norms go
+    # inf — finite in the masked primal but 0*inf = NaN in reverse mode.
+    # Pin them to the face's p0 (t=1) instead.
+    u = jnp.where(hit.valid, u, 0.0)
+    v = jnp.where(hit.valid, v, 0.0)
+    t = jnp.where(hit.valid, t, 1.0)
 
     w = 1.0 - u - v
     position = w[:, None] * p0 + u[:, None] * p1 + v[:, None] * p2
@@ -471,6 +478,16 @@ def hit_attributes(o: Array, d: Array, hit: Hit, geometry: Geometry):
         inv = jnp.where(uv0_, 0.0, 1.0 / jnp.where(uv0_, 1.0, det_uv))
         tangent = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * inv[:, None]
         out["tangent"] = tangent
+    if geometry.normals is not None:
+        n0 = geometry.normals[faces[:, 0]]
+        n1 = geometry.normals[faces[:, 1]]
+        n2 = geometry.normals[faces[:, 2]]
+        nsm = w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2
+        # Max-guarded radicand: zero rows otherwise NaN the cotangent.
+        nn2 = jnp.sum(nsm * nsm, axis=-1, keepdims=True)
+        ok = nn2[:, 0] > 1e-6
+        nsm = nsm * jax.lax.rsqrt(jnp.maximum(nn2, 1e-12))
+        out["smooth_normal"] = jnp.where(ok[:, None], nsm, normal)
     return out
 
 
@@ -500,6 +517,10 @@ def hit_attributes_v(o, d, hit: Hit, geometry: Geometry):
     qvec = tvec.cross(e1)
     v = d.dot(qvec) * inv_det
     t = e2.dot(qvec) * inv_det
+    # Pin miss lanes to p0 (see hit_attributes: reverse-mode 0*inf NaNs).
+    u = jnp.where(hit.valid, u, 0.0)
+    v = jnp.where(hit.valid, v, 0.0)
+    t = jnp.where(hit.valid, t, 1.0)
 
     w = 1.0 - u - v
     position = p0 * w + p1 * u + p2 * v
@@ -530,6 +551,13 @@ def hit_attributes_v(o, d, hit: Hit, geometry: Geometry):
         uv0_ = jnp.abs(det_uv) < 1e-12
         inv = jnp.where(uv0_, 0.0, 1.0 / jnp.where(uv0_, 1.0, det_uv))
         out["tangent"] = (e1 * d2y - e2 * d1y) * inv
+    if geometry.normals is not None:
+        n0 = from_array(geometry.normals[faces[:, 0]])
+        n1 = from_array(geometry.normals[faces[:, 1]])
+        n2 = from_array(geometry.normals[faces[:, 2]])
+        out["smooth_normal"] = _interp_smooth_normal(
+            n0, n1 - n0, n2 - n0, u, v, normal
+        )
     return out
 
 
@@ -542,8 +570,11 @@ def build_face_table(geometry: Geometry) -> Array:
     quantity into one row turns 4-6 big gathers per bounce into one.
 
     Layout (D = 17): p0 (3), e1 (3), e2 (3), uv0 (2), duv1 (2), duv2 (2),
-    mat_id (1), mesh_id (1).  Differentiable w.r.t. vertices (built from
-    tiny F-row gathers); uv columns are zero when the mesh has no UVs.
+    mat_id (1), mesh_id (1).  With geometry.normals, 9 more columns:
+    n0 (3), dn1 (3), dn2 (3) for smooth shading (D = 26 — widening is
+    ~free, the gather cost is per-row).  Differentiable w.r.t. vertices
+    (built from tiny F-row gathers); uv columns are zero when the mesh has
+    no UVs.
     """
     v0 = geometry.vertices[geometry.faces[:, 0]]
     v1 = geometry.vertices[geometry.faces[:, 1]]
@@ -561,10 +592,17 @@ def build_face_table(geometry: Geometry) -> Array:
         geometry.face_mat[:, None].astype(jnp.float32),
         geometry.face_mesh[:, None].astype(jnp.float32),
     ]
-    return jnp.concatenate(cols, axis=1)  # (F, 17)
+    if geometry.normals is not None:
+        n0 = geometry.normals[geometry.faces[:, 0]]
+        n1 = geometry.normals[geometry.faces[:, 1]]
+        n2 = geometry.normals[geometry.faces[:, 2]]
+        cols += [n0, n1 - n0, n2 - n0]
+    return jnp.concatenate(cols, axis=1)  # (F, 17) or (F, 26)
 
 
-def hit_attributes_table(o, d, hit: Hit, face_table: Array, has_uvs: bool):
+def hit_attributes_table(
+    o, d, hit: Hit, face_table: Array, has_uvs: bool, has_normals: bool = False
+):
     """Component-form hit attributes from ONE face-table gather.
 
     o, d: Vec3; returns the same dict as hit_attributes_v.  See
@@ -587,6 +625,10 @@ def hit_attributes_table(o, d, hit: Hit, face_table: Array, has_uvs: bool):
     qvec = tvec.cross(e1)
     v = d.dot(qvec) * inv_det
     t = e2.dot(qvec) * inv_det
+    # Pin miss lanes to p0 (see hit_attributes: reverse-mode 0*inf NaNs).
+    u = jnp.where(hit.valid, u, 0.0)
+    v = jnp.where(hit.valid, v, 0.0)
+    t = jnp.where(hit.valid, t, 1.0)
 
     position = p0 + e1 * u + e2 * v
     normal = e1.cross(e2).normalized()
@@ -610,4 +652,29 @@ def hit_attributes_table(o, d, hit: Hit, face_table: Array, has_uvs: bool):
         uv0_ = jnp.abs(det_uv) < 1e-12
         inv = jnp.where(uv0_, 0.0, 1.0 / jnp.where(uv0_, 1.0, det_uv))
         out["tangent"] = (e1 * d2y - e2 * d1y) * inv
+    if has_normals:
+        out["smooth_normal"] = _interp_smooth_normal(
+            Vec3(row[:, 17], row[:, 18], row[:, 19]),
+            Vec3(row[:, 20], row[:, 21], row[:, 22]),
+            Vec3(row[:, 23], row[:, 24], row[:, 25]),
+            u, v, normal,
+        )
     return out
+
+
+def _interp_smooth_normal(n0, dn1, dn2, u, v, geometric):
+    """Phong-interpolated unit shading normal n0 + u*dn1 + v*dn2.
+
+    Falls back to the geometric normal where the interpolation is
+    (near-)zero: all-zero rows mark flat-shaded meshes (Geometry.normals),
+    and unit corner normals can only cancel across a >120-degree fold.
+    """
+    from fireflies_tpu.render import vec3 as v3m
+
+    nsm = n0 + dn1 * u + dn2 * v
+    # Max-guarded radicand (not sqrt-then-max): zero-interp rows otherwise
+    # NaN the cotangent through the norm's VJP.
+    nn2 = nsm.norm2()
+    ok = nn2 > 1e-6
+    nsm = nsm * jax.lax.rsqrt(jnp.maximum(nn2, 1e-12))
+    return v3m.where(ok, nsm, geometric)

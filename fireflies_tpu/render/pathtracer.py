@@ -200,6 +200,7 @@ def trace_rays(
     # dominated the shading pass at 4M rays).
     face_table = build_face_table(scene.geometry)
     has_uvs = scene.geometry.uvs is not None
+    has_normals = scene.geometry.normals is not None
     tex_packs = _pack_textures(scene)
 
     has_area_lights = scene.geometry.emissive_faces is not None
@@ -279,7 +280,9 @@ def trace_rays(
         radiance = radiance + throughput * bg * jnp.where(escaped, 1.0, 0.0)
         active = active & hit.valid
 
-        attrs = hit_attributes_table(o_v, d_v, hit, face_table, has_uvs)
+        attrs = hit_attributes_table(
+            o_v, d_v, hit, face_table, has_uvs, has_normals
+        )
         p = attrs["position"]
         n_geo = attrs["normal"]
         # Face the normal against the incoming ray.
@@ -298,10 +301,18 @@ def trace_rays(
         )
         params = _shading_base_color(scene, params, attrs, packs=tex_packs)
         tangent = attrs.get("tangent")
-        # Shading normal (normal-mapped where materials carry a map) drives
-        # BSDF evaluation/sampling and cosine factors; the geometric `n`
-        # keeps handling ray offsets and sidedness.
-        ns = _shading_normal(scene, attrs, n, packs=tex_packs)
+        # Shading normal drives BSDF evaluation/sampling and cosine factors;
+        # the geometric `n` keeps handling ray offsets and sidedness.  Base =
+        # Phong-interpolated vertex normal where the mesh is smooth-shaded
+        # (Mitsuba's default mesh shading), kept in the geometric hemisphere
+        # so grazing interpolation can't punch light through the surface;
+        # material normal maps perturb on top of that.
+        if "smooth_normal" in attrs:
+            n_sm = attrs["smooth_normal"] * flip
+            n_base = v3m.where(n_sm.dot(n) > 1e-4, n_sm, n)
+        else:
+            n_base = n
+        ns = _shading_normal(scene, attrs, n_base, packs=tex_packs)
 
         # Emissive surfaces contribute on any hit; for BSDF-sampled bounces
         # MIS-weight against the area-light NEE strategy (power heuristic) so
@@ -476,13 +487,18 @@ def trace_rays(
             wi, pdf, f = bsdf_mod.sample_v(
                 params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
             )
-            if config.reparam and config.reparam_indirect and bounce == 0:
+            if (
+                config.reparam
+                and config.reparam_indirect
+                and bounce < config.reparam_ind_bounces
+            ):
                 # Warped-area reparameterization of the sampled direction:
                 # silhouettes of occluders seen from p become stationary in
-                # the gnomonic patch around wi, making one-bounce indirect
-                # visibility differentiable (render/reparam.py
+                # the gnomonic patch around wi, making indirect visibility
+                # at this vertex differentiable (render/reparam.py
                 # DirectionDomain).  Primal direction and throughput are
-                # exactly unchanged.
+                # exactly unchanged.  The warp is per-vertex, so it applies
+                # at any bounce; reparam_ind_bounces bounds the cost.
                 from fireflies_tpu.render.reparam import (  # noqa: PLC0415
                     reparam_direction,
                 )

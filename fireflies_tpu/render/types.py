@@ -208,6 +208,12 @@ class Geometry(struct.PyTreeNode):
     # randomized at runtime; membership is static (Mitsuba area emitters are
     # likewise declared, not discovered).
     emissive_faces: Optional[Array] = None  # (E,) int32
+    # Optional vertex normals (V, 3) for smooth (Phong-interpolated)
+    # shading — Mitsuba meshes interpolate vertex normals unless
+    # face_normals=true (reference scenes inherit that default).  All-zero
+    # rows mark flat-shaded vertices: hit attributes fall back to the
+    # geometric normal where the interpolated normal is ~zero.
+    normals: Optional[Array] = None  # (V, 3)
 
     @property
     def num_faces(self) -> int:
@@ -223,6 +229,31 @@ class Geometry(struct.PyTreeNode):
         v1 = self.vertices[self.faces[:, 1]]
         v2 = self.vertices[self.faces[:, 2]]
         return v0, v1 - v0, v2 - v0
+
+
+def compute_vertex_normals(vertices: Array, faces: Array) -> Array:
+    """Area-weighted unit vertex normals, differentiable w.r.t. vertices.
+
+    The standard smooth-shading normals Mitsuba computes when a mesh has
+    no authored normals and face_normals=false: each face's (unnormalized,
+    hence area-weighted) geometric normal scatter-adds onto its three
+    corners.  Runs once per assembled variant (not per bounce).
+    """
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # |fn| = 2 * area
+    vn = (
+        jnp.zeros_like(vertices)
+        .at[faces[:, 0]].add(fn)
+        .at[faces[:, 1]].add(fn)
+        .at[faces[:, 2]].add(fn)
+    )
+    # rsqrt with a max-guarded radicand: sqrt-norm at the exactly-zero rows
+    # (unreferenced vertices) has a NaN cotangent otherwise (see the
+    # where-guarded-reciprocal VJP trap in vec3.Vec3.normalized).
+    n2 = jnp.sum(vn * vn, axis=-1, keepdims=True)
+    return vn * jax.lax.rsqrt(jnp.maximum(n2, 1e-24)) * (n2 > 1e-24)
 
 
 class RenderScene(struct.PyTreeNode):
@@ -273,3 +304,8 @@ class RenderConfig(struct.PyTreeNode):
     # traversals per sample.
     reparam_indirect: bool = struct.field(pytree_node=False, default=False)
     reparam_ind_radius: float = struct.field(pytree_node=False, default=0.15)
+    # How many BSDF-sampled bounces get the direction warp: 1 covers
+    # one-bounce indirect silhouettes (the common case), higher values
+    # reparameterize deeper vertices too (each adds ~3x reparam_k_aux
+    # secondary traversals at that bounce).
+    reparam_ind_bounces: int = struct.field(pytree_node=False, default=1)
