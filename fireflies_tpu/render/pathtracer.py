@@ -255,6 +255,26 @@ def trace_rays(
                 backend=config.backend,
             )
             hit = jax.tree.map(lambda x: x[inv], hit_s)
+        elif _os.environ.get("FF_B1_FAKE_HIT"):  # perf-bisection knob
+            # Replace the bounce closest-hit with a synthetic hit that still
+            # data-depends on the rays (so the downstream shading chain can't
+            # be constant-folded away): full - this = the bounce-pass kernel
+            # cost, with shading/NEE untouched.
+            from fireflies_tpu.render.types import Hit as _Hit  # noqa: PLC0415
+
+            n_f = scene.geometry.faces.shape[0]
+            fake_prim = (
+                jnp.arange(n_rays, dtype=jnp.int32)
+                + (d[:, 0] > 0).astype(jnp.int32)
+            ) % n_f
+            fake_t = 1.0 + 1e-3 * d[:, 1]
+            hit = _Hit(
+                t=fake_t,
+                prim=jnp.where(active, fake_prim, -1),
+                u=zeros,
+                v=zeros,
+                valid=active,
+            )
         else:
             hit = closest_hit(
                 o, d, scene.geometry, t_max=tmax_b,

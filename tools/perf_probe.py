@@ -257,9 +257,14 @@ def probe_step(size=512, batch=16, n_iter=8):
         ("no_occl", {"FF_SKIP_OCCL": "1"}, True),
         ("no_nee", {"FF_SKIP_NEE": "1"}, True),
         ("nee_const_rad", {"FF_NEE_CONST_RAD": "1"}, True),
+        ("nee_const_f", {"FF_NEE_CONST_F": "1"}, True),
+        ("b1_fake_hit", {"FF_B1_FAKE_HIT": "1"}, True),
         ("bounces1", {"_BOUNCES": "1"}, True),
     ]
-    knob_names = ["FF_SKIP_OCCL", "FF_SKIP_NEE", "FF_NEE_CONST_RAD"]
+    knob_names = [
+        "FF_SKIP_OCCL", "FF_SKIP_NEE", "FF_NEE_CONST_RAD",
+        "FF_NEE_CONST_F", "FF_B1_FAKE_HIT",
+    ]
     base = None
     for name, env, with_grad in variants:
         for k in knob_names:
