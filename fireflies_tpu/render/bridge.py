@@ -183,6 +183,37 @@ class SceneBridge:
             if m.texture() is not None
             or any("base_color.data" in k for k in m.vec3_attributes())
         ]
+        # Scene-static BSDF lobe flags: an optional lobe is active iff ANY
+        # material's base value for its driving field is nonzero OR the
+        # field is randomized by a registered sampler (conservative —
+        # sampler ranges are not inspected).  bsdf.evaluate_v/sample_v/pdf_v
+        # skip the math for absent lobes at trace time; the vocalfold
+        # workload (diffuse + GGX only) drops the glass/thin/clearcoat/
+        # sheen/aniso chains from the hot path.
+        from fireflies_tpu.scene import canonical_param  # noqa: PLC0415
+
+        def _lobe_active(field: str) -> bool:
+            for m in scene.materials():
+                if np.any(np.asarray(m.params().get(field, 0.0), np.float32) != 0):
+                    return True
+                for attr_key in list(m.float_attributes()) + list(
+                    m.vec3_attributes()
+                ):
+                    if attr_key == field or canonical_param(attr_key) == field:
+                        return True
+            return False
+
+        _lobe_fields = {
+            "trans": "spec_trans",
+            "clearcoat": "clearcoat",
+            "sheen": "sheen",
+            "aniso": "anisotropic",
+            "flatness": "flatness",
+        }
+        self._lobe_flags = frozenset(
+            lobe for lobe, field in _lobe_fields.items() if _lobe_active(field)
+        )
+
         # Host numpy (anti-poisoning, see _background above).
         self._roughness_texs = {
             i: np.asarray(m.roughness_texture(), np.float32)
@@ -242,7 +273,7 @@ class SceneBridge:
                     else:
                         rows.append(val.reshape(-1)[0])
                 fields[field] = jnp.stack(rows)
-            materials = Materials(**fields)
+            materials = Materials(**fields, flags=self._lobe_flags)
             if self._texture_mats:
                 tex_rows, has_tex = [], []
                 tex_shape = None

@@ -47,6 +47,16 @@ Array = jax.Array
 _EPS = 1e-7
 
 
+ALL_LOBES = frozenset({"trans", "clearcoat", "sheen", "aniso", "flatness"})
+
+
+def _lobes(params: dict) -> frozenset:
+    """Active optional-lobe set (trace-time constant).  Missing / None =
+    conservative all-on; the bridge narrows it per scene (Materials.flags)."""
+    f = params.get("_flags")
+    return ALL_LOBES if f is None else f
+
+
 def gather_params(materials: Materials, mat_id: Array) -> dict[str, Array]:
     """Gather per-point parameter rows: {field: (N, ...)}."""
     out = {}
@@ -56,6 +66,7 @@ def gather_params(materials: Materials, mat_id: Array) -> dict[str, Array]:
         "ior thin emission"
     ).split():
         out[field] = getattr(materials, field)[mat_id]
+    out["_flags"] = materials.flags  # static aux, consumed at trace time
     return out
 
 
@@ -116,6 +127,26 @@ def _d_ggx(cos_h: Array, alpha: Array) -> Array:
     a2 = alpha * alpha
     denom = cos_h * cos_h * (a2 - 1.0) + 1.0
     return a2 / jnp.maximum(jnp.pi * denom * denom, _EPS)
+
+
+def _d_ggx_stable(n: Vec3, h: Vec3, cos_h: Array, alpha: Array) -> Array:
+    """Isotropic GGX NDF, cancellation-free at the needle peak.
+
+    The textbook denominator cos²θ(α²-1)+1 computes 1 - cos²θ(1-α²) and
+    catastrophically cancels as cosθ -> 1 (exactly where GGX importance
+    sampling lands at low roughness: measured up to ~99% relative error in
+    f32 at roughness 0.05).  Rewriting it as α²cos²θ + sin²θ with
+    sin²θ = |n×h|² (no 1-cos² subtraction) matches the anisotropic form's
+    numerics — required for the lobe-specialized (Materials.flags) path to
+    agree with the full path on sampled needles.  The 1/(π a² q²) scaling
+    (not a²/(π denom²)) also matters: at roughness 0.05 the latter's
+    π·denom² ~ 1e-9 underflows the _EPS floor and crushes the needle 86x
+    (same quirk as _d_ggx, which the hot paths no longer use there)."""
+    s = n.cross(h)
+    sin2 = s.norm2()
+    a2 = jnp.maximum(alpha * alpha, 1e-8)
+    q = sin2 / a2 + cos_h * cos_h
+    return 1.0 / jnp.maximum(jnp.pi * a2 * q * q, _EPS)
 
 
 def _d_ggx_aniso(hx: Array, hy: Array, hz: Array, ax: Array, ay: Array) -> Array:
@@ -195,6 +226,8 @@ def evaluate_v(
     rough = jnp.clip(params["roughness"], 0.01, 1.0)
     metallic = params["metallic"]
     flatness = params["flatness"]
+    lobes = _lobes(params)
+    has_trans = "trans" in lobes
 
     # ---- Burley diffuse + subsurface ------------------------------------
     fd90 = 0.5 + 2.0 * rough * cos_d * cos_d
@@ -202,45 +235,72 @@ def evaluate_v(
     f_out = 1.0 + (fd90 - 1.0) * _schlick(cos_o)
     diffuse = f_in * f_out
 
-    fss90 = rough * cos_d * cos_d
-    fss_in = 1.0 + (fss90 - 1.0) * _schlick(cos_i)
-    fss_out = 1.0 + (fss90 - 1.0) * _schlick(cos_o)
-    ss = 1.25 * (fss_in * fss_out * (1.0 / (cos_i + cos_o) - 0.5) + 0.5)
-
-    diff_mix = diffuse * (1.0 - flatness) + ss * flatness
-    diffuse_weight = (1.0 - metallic) * (1.0 - params["spec_trans"])
+    if "flatness" in lobes:
+        fss90 = rough * cos_d * cos_d
+        fss_in = 1.0 + (fss90 - 1.0) * _schlick(cos_i)
+        fss_out = 1.0 + (fss90 - 1.0) * _schlick(cos_o)
+        ss = 1.25 * (fss_in * fss_out * (1.0 / (cos_i + cos_o) - 0.5) + 0.5)
+        diff_mix = diffuse * (1.0 - flatness) + ss * flatness
+    else:
+        diff_mix = diffuse
+    diffuse_weight = (1.0 - metallic) * (
+        (1.0 - params["spec_trans"]) if has_trans else 1.0
+    )
     f_diffuse = base * (diff_mix * diffuse_weight / jnp.pi)
 
-    # ---- Sheen -----------------------------------------------------------
     lum = jnp.maximum(_luminance(base), _EPS)
     tint = base * (1.0 / lum)
-    sheen_color = tint * params["sheen_tint"] + (1.0 - params["sheen_tint"])
-    f_sheen = sheen_color * (
-        params["sheen"] * _schlick(cos_d) * (1.0 - metallic)
-    )
+
+    # ---- Sheen -----------------------------------------------------------
+    if "sheen" in lobes:
+        sheen_color = tint * params["sheen_tint"] + (1.0 - params["sheen_tint"])
+        f_sheen = sheen_color * (
+            params["sheen"] * _schlick(cos_d) * (1.0 - metallic)
+        )
+    else:
+        f_sheen = None
 
     # ---- GGX specular (anisotropic-aware) ---------------------------------
     spec_color = tint * params["spec_tint"] + (1.0 - params["spec_tint"])
     f0 = spec_color * (0.08 * params["specular"] * (1.0 - metallic)) + base * metallic
     fresnel = f0 + (1.0 - f0) * _schlick(cos_d)
-    ax, ay = _aniso_alphas(params)
-    t, bt = _frame(n, tangent)
-    hx = h.dot(t)
-    hy = h.dot(bt)
-    d_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay)
-    g_spec = _g1_smith_aniso(wi.dot(t), wi.dot(bt), cos_i, ax, ay) * _g1_smith_aniso(
-        wo.dot(t), wo.dot(bt), cos_o, ax, ay
-    )
+    if "aniso" in lobes:
+        ax, ay = _aniso_alphas(params)
+        t, bt = _frame(n, tangent)
+        hx = h.dot(t)
+        hy = h.dot(bt)
+        d_spec = _d_ggx_aniso(hx, hy, cos_h, ax, ay)
+        g_spec = _g1_smith_aniso(
+            wi.dot(t), wi.dot(bt), cos_i, ax, ay
+        ) * _g1_smith_aniso(wo.dot(t), wo.dot(bt), cos_o, ax, ay)
+    else:
+        alpha_s = rough * rough
+        d_spec = _d_ggx_stable(n, h, cos_h, alpha_s)
+        g_spec = _g_smith_ggx(cos_i, alpha_s) * _g_smith_ggx(cos_o, alpha_s)
     f_specular = fresnel * (d_spec * g_spec / (4.0 * cos_i * cos_o))
 
     # ---- Clearcoat -------------------------------------------------------
-    alpha_cc = 0.1 * (1.0 - params["clearcoat_gloss"]) + 0.001 * params["clearcoat_gloss"]
-    d_cc = _d_gtr1(cos_h, alpha_cc)
-    f_cc = 0.04 + 0.96 * _schlick(cos_d)
-    g_cc = _g_smith_ggx(cos_i, jnp.full_like(alpha_cc, 0.25)) * _g_smith_ggx(
-        cos_o, jnp.full_like(alpha_cc, 0.25)
-    )
-    f_clearcoat = 0.25 * params["clearcoat"] * d_cc * f_cc * g_cc / (4.0 * cos_i * cos_o)
+    if "clearcoat" in lobes:
+        alpha_cc = 0.1 * (1.0 - params["clearcoat_gloss"]) + 0.001 * params["clearcoat_gloss"]
+        d_cc = _d_gtr1(cos_h, alpha_cc)
+        f_cc = 0.04 + 0.96 * _schlick(cos_d)
+        g_cc = _g_smith_ggx(cos_i, jnp.full_like(alpha_cc, 0.25)) * _g_smith_ggx(
+            cos_o, jnp.full_like(alpha_cc, 0.25)
+        )
+        f_clearcoat = 0.25 * params["clearcoat"] * d_cc * f_cc * g_cc / (4.0 * cos_i * cos_o)
+    else:
+        f_clearcoat = None
+
+    if not has_trans:
+        f_up = f_diffuse + f_specular
+        if f_sheen is not None:
+            f_up = f_up + f_sheen
+        if f_clearcoat is not None:
+            f_up = f_up + f_clearcoat
+        zero = Vec3(
+            jnp.zeros_like(cos_o), jnp.zeros_like(cos_o), jnp.zeros_like(cos_o)
+        )
+        return v3m.where(reflect_side, f_up, zero)
 
     # ---- Glass lobe (rough-dielectric, Walter/PBRT microfacet model) ------
     # Mitsuba `principled` parity: spec_trans on a non-thin surface is
@@ -291,13 +351,11 @@ def evaluate_v(
     )
     f_glass_trans = t_tint * glass_trans_scalar
 
-    f_up = (
-        f_diffuse
-        + f_sheen
-        + f_specular * (1.0 - glass_w)
-        + f_clearcoat
-        + f_glass_refl * glass_w
-    )
+    f_up = f_diffuse + f_specular * (1.0 - glass_w) + f_glass_refl * glass_w
+    if f_sheen is not None:
+        f_up = f_up + f_sheen
+    if f_clearcoat is not None:
+        f_up = f_up + f_clearcoat
 
     # ---- Thin diffuse transmission ----------------------------------------
     trans_weight = params["spec_trans"] * (1.0 - metallic)
@@ -348,12 +406,12 @@ def sample_v(
     the branch taken.
     """
     n_pts = n.x.shape[0]
+    lobes = _lobes(params)
+    has_trans = "trans" in lobes
     k_sel, k_a, k_b, k_c, k_d = jax.random.split(key, 5)
     u_sel = jax.random.uniform(k_sel, (n_pts,))
     u1 = jax.random.uniform(k_a, (n_pts,))
     u2 = jax.random.uniform(k_b, (n_pts,))
-    u3 = jax.random.uniform(k_c, (n_pts,))
-    u4 = jax.random.uniform(k_d, (n_pts,))
 
     t, bt = _frame(n, tangent)
 
@@ -367,7 +425,10 @@ def sample_v(
 
     # Anisotropic GGX half-vector sample (Heitz NDF parametrization;
     # reduces to isotropic GGX at anisotropic = 0).
-    ax, ay = _aniso_alphas(params)
+    if "aniso" in lobes:
+        ax, ay = _aniso_alphas(params)
+    else:
+        ax = ay = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
     stretch = jnp.sqrt(jnp.maximum(u1 / jnp.maximum(1.0 - u1, 1e-9), 0.0))
     hx = stretch * ax * jnp.cos(phi)
     hy = stretch * ay * jnp.sin(phi)
@@ -375,35 +436,38 @@ def sample_v(
     h = _to_world(n, t, bt, hx / hnorm, hy / hnorm, 1.0 / hnorm)
     wi_spec = h * (2.0 * wo.dot(h)) - wo
 
-    # Glass lobe: isotropic GGX half-vector, Fresnel-weighted branch.
-    eta = _eta_rel(params)
-    alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
-    cos_hg = jnp.sqrt(
-        jnp.clip((1.0 - u1) / (1.0 + (alpha_g * alpha_g - 1.0) * u1), 0.0, 1.0)
-    )
-    sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
-    hg = _to_world(n, t, bt, sin_hg * jnp.cos(phi), sin_hg * jnp.sin(phi), cos_hg)
-    wo_hg = wo.dot(hg)
-    # Work with the half-vector on wo's side (grazing samples can flip it).
-    hh = hg * jnp.sign(wo_hg + _EPS)
-    c = jnp.abs(wo_hg)
-    f_g = _fresnel_dielectric(c, eta)
-    wi_grefl = hh * (2.0 * c) - wo
-    # Snell refraction about hh; TIR handled by f_g == 1 (reflect branch).
-    sin2_t = jnp.maximum(1.0 - c * c, 0.0) / jnp.maximum(eta * eta, _EPS)
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-    wi_grefr = ((-wo) * (1.0 / eta) + hh * ((c / eta) - cos_t)).normalized()
-    take_refl = (u3 < f_g) | (sin2_t >= 1.0)
-    wi_glass = v3m.where(take_refl, wi_grefl, wi_grefr)
-    # Thin vs glass within the transmission lobe.
-    thin = jnp.clip(params["thin"], 0.0, 1.0)
-    wi_trans = v3m.where(u4 < thin, -wi_diff, wi_glass)
-
     p_d, p_s, p_t = _lobe_probs(params)
-    take_trans = u_sel >= (p_d + p_s)
     take_diff = u_sel < p_d
     wi = v3m.where(take_diff, wi_diff, wi_spec)
-    wi = v3m.where(take_trans, wi_trans, wi)
+
+    if has_trans:
+        u3 = jax.random.uniform(k_c, (n_pts,))
+        u4 = jax.random.uniform(k_d, (n_pts,))
+        # Glass lobe: isotropic GGX half-vector, Fresnel-weighted branch.
+        eta = _eta_rel(params)
+        alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+        cos_hg = jnp.sqrt(
+            jnp.clip((1.0 - u1) / (1.0 + (alpha_g * alpha_g - 1.0) * u1), 0.0, 1.0)
+        )
+        sin_hg = jnp.sqrt(jnp.maximum(1.0 - cos_hg * cos_hg, 0.0))
+        hg = _to_world(n, t, bt, sin_hg * jnp.cos(phi), sin_hg * jnp.sin(phi), cos_hg)
+        wo_hg = wo.dot(hg)
+        # Work with the half-vector on wo's side (grazing samples can flip it).
+        hh = hg * jnp.sign(wo_hg + _EPS)
+        c = jnp.abs(wo_hg)
+        f_g = _fresnel_dielectric(c, eta)
+        wi_grefl = hh * (2.0 * c) - wo
+        # Snell refraction about hh; TIR handled by f_g == 1 (reflect branch).
+        sin2_t = jnp.maximum(1.0 - c * c, 0.0) / jnp.maximum(eta * eta, _EPS)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        wi_grefr = ((-wo) * (1.0 / eta) + hh * ((c / eta) - cos_t)).normalized()
+        take_refl = (u3 < f_g) | (sin2_t >= 1.0)
+        wi_glass = v3m.where(take_refl, wi_grefl, wi_grefr)
+        # Thin vs glass within the transmission lobe.
+        thin = jnp.clip(params["thin"], 0.0, 1.0)
+        wi_trans = v3m.where(u4 < thin, -wi_diff, wi_glass)
+        take_trans = u_sel >= (p_d + p_s)
+        wi = v3m.where(take_trans, wi_trans, wi)
 
     pdf = pdf_v(params, n, wo, wi, tangent=tangent)
     f = evaluate_v(params, n, wo, wi, tangent=tangent)
@@ -431,11 +495,30 @@ def pdf_v(
     h = (wo + wi).normalized()
     cos_h = jnp.maximum(n.dot(h), 0.0)
     cos_d = jnp.maximum(wo.dot(h), _EPS)
+    lobes = _lobes(params)
 
-    ax, ay = _aniso_alphas(params)
-    t, bt = _frame(n, tangent)
     pdf_diff = jnp.maximum(cos_i, 0.0) / jnp.pi
-    pdf_spec = _d_ggx_aniso(h.dot(t), h.dot(bt), cos_h, ax, ay) * cos_h / (4.0 * cos_d)
+    if "aniso" in lobes:
+        ax, ay = _aniso_alphas(params)
+        t, bt = _frame(n, tangent)
+        pdf_spec = (
+            _d_ggx_aniso(h.dot(t), h.dot(bt), cos_h, ax, ay) * cos_h / (4.0 * cos_d)
+        )
+    else:
+        alpha_s = jnp.clip(params["roughness"], 0.01, 1.0) ** 2
+        pdf_spec = _d_ggx_stable(n, h, cos_h, alpha_s) * cos_h / (4.0 * cos_d)
+
+    if "trans" not in lobes:
+        p_d, p_s, _p_t = _lobe_probs(params)
+        pdf_hv = p_s * pdf_spec
+        pdf_up = p_d * pdf_diff + pdf_hv
+        # Half-vector reflection density is valid on either hemisphere (see
+        # the note below); without a transmission lobe the down-hemisphere
+        # density is just that reflection tail.
+        return jnp.where(
+            cos_i > _EPS, pdf_up, jnp.where(cos_i < -_EPS, pdf_hv, 0.0)
+        )
+
     pdf_thin = jnp.maximum(-cos_i, 0.0) / jnp.pi
 
     # Glass-lobe pdfs (isotropic GGX over the NDF, then the Fresnel branch).

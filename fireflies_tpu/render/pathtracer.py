@@ -300,9 +300,26 @@ def trace_rays(
         radiance = radiance + throughput * bg * jnp.where(escaped, 1.0, 0.0)
         active = active & hit.valid
 
-        attrs = hit_attributes_table(
-            o_v, d_v, hit, face_table, has_uvs, has_normals
-        )
+        if _os.environ.get("FF_FAKE_ATTRS"):  # perf-bisection knob
+            # Synthetic hit attributes (no face-table gather, no barycentric
+            # re-derivation) that keep every downstream dependency alive:
+            # full - this = hit_attributes_table cost (ONE packed per-bounce
+            # gather + attr math).
+            pos = o_v + d_v * hit.t
+            nrm = (-d_v).normalized()
+            attrs = {
+                "position": pos,
+                "normal": nrm,
+                "mat_id": jnp.maximum(hit.prim, 0)
+                % scene.materials.base_color.shape[0],
+            }
+            if has_uvs:
+                attrs["uv_x"] = pos.x - jnp.floor(pos.x)
+                attrs["uv_y"] = pos.y - jnp.floor(pos.y)
+        else:
+            attrs = hit_attributes_table(
+                o_v, d_v, hit, face_table, has_uvs, has_normals
+            )
         p = attrs["position"]
         n_geo = attrs["normal"]
         # Face the normal against the incoming ray.
@@ -319,7 +336,8 @@ def trace_rays(
         params["eta_rel"] = jnp.where(
             flip > 0, params["ior"], 1.0 / jnp.maximum(params["ior"], 1e-3)
         )
-        params = _shading_base_color(scene, params, attrs, packs=tex_packs)
+        if not _os.environ.get("FF_NO_BASETEX"):  # perf-bisection knob
+            params = _shading_base_color(scene, params, attrs, packs=tex_packs)
         tangent = attrs.get("tangent")
         # Shading normal drives BSDF evaluation/sampling and cosine factors;
         # the geometric `n` keeps handling ray offsets and sidedness.  Base =
@@ -504,9 +522,17 @@ def trace_rays(
 
         # ---- Indirect bounce --------------------------------------------
         if bounce + 1 < config.max_bounces:
-            wi, pdf, f = bsdf_mod.sample_v(
-                params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
-            )
+            if _os.environ.get("FF_CONST_SAMPLE"):  # perf-bisection knob
+                # Mirror direction with unit pdf / grey f: removes the BSDF
+                # importance-sampling math while keeping the bounce ray
+                # data-dependent.  full - this = sample_v cost.
+                wi = (d_v - ns * (2.0 * ns.dot(d_v))).normalized()
+                pdf = jnp.ones((n_rays,), jnp.float32)
+                f = Vec3(pdf * 0.3, pdf * 0.3, pdf * 0.3)
+            else:
+                wi, pdf, f = bsdf_mod.sample_v(
+                    params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
+                )
             if (
                 config.reparam
                 and config.reparam_indirect

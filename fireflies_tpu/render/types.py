@@ -164,6 +164,14 @@ class Materials(struct.PyTreeNode):
     # UVs (the shading frame tangent comes from hit_attributes).
     normal_tex: Optional[Array] = None
     has_normal_tex: Optional[Array] = None  # (M,) bool
+    # Scene-static lobe specialization (pytree AUX data, not traced): the
+    # set of optional principled lobes any material in this table can
+    # activate — among {"trans", "clearcoat", "sheen", "aniso", "flatness"}.
+    # None (default) = conservative, all lobes on.  The bridge computes it
+    # from base values + registered samplers; bsdf.evaluate_v / sample_v /
+    # pdf_v skip the math for absent lobes at trace time (a skipped lobe's
+    # weight is identically zero, so results are unchanged).
+    flags: Optional[frozenset] = struct.field(pytree_node=False, default=None)
 
     @property
     def count(self) -> int:

@@ -128,9 +128,15 @@ def test_indirect_silhouette_gradient_matches_fd():
     import subprocess
     import sys
 
+    # The child interpreter's sys.path[0] is tests/, not the repo root, so
+    # make the package importable explicitly (callers may not have the repo
+    # on PYTHONPATH).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--impl"],
-        capture_output=True, text=True, timeout=5000,
+        capture_output=True, text=True, timeout=5000, env=env, cwd=repo_root,
     )
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     r = json.loads(out.stdout.strip().splitlines()[-1])
