@@ -85,14 +85,27 @@ def measure(
 
     rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)  # 144-beam pattern
 
+    analytic_proj = bool(int(os.environ.get("BENCH_ANALYTIC_PROJ", 0)))
+
     def loss(rays, key):
-        tex = laser_mod.rays_to_texture_rgb(
-            rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
-        )
+        if analytic_proj:
+            # Analytic beam-splat projector: same pattern, same gradients
+            # w.r.t. beam directions, but the emitter evaluates the splat
+            # field directly instead of gathering from a rasterized texture.
+            beam_params = laser_mod.rays_to_beam_params(
+                rays, 30.0, sigma=10.0, texture_size=(256, 256)
+            )
+        else:
+            tex = laser_mod.rays_to_texture_rgb(
+                rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
+            )
 
         def one(k):
             params = dict(randomize(k, 0))
-            params["tex.data"] = tex
+            if analytic_proj:
+                params.update(beam_params)
+            else:
+                params["tex.data"] = tex
             return jnp.mean(render_rgb(bridge.assemble(params), k, cfg))
 
         return jnp.mean(jax.vmap(one)(jax.random.split(key, batch)))
@@ -132,7 +145,8 @@ def measure(
         "metric": (
             f"{size}x{size} diff-renders/sec/chip "
             f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces}"
-            + (", smooth" if smooth else "") + ")"
+            + (", smooth" if smooth else "")
+            + (", analytic-projector" if analytic_proj else "") + ")"
         ),
         "value": round(renders_per_sec, 3),
         "unit": "renders/sec/chip",
@@ -149,14 +163,18 @@ def measure(
 # reference's workload shapes: main.py renders 512x512 with spp 4..16 on
 # the ~10-40k-face vocalfold OBJ sequence; BASELINE names the 150-point
 # pattern-optimization iters/sec.
+# Keep batch=16 everywhere: renders/sec/chip is batch-sensitive (measured:
+# spp16 at batch 8 lands at 1.16/s vs 2.12/s at batch 16 — the smaller ray
+# volume underutilizes the chip, it is NOT an spp nonlinearity).
 VARIANTS = [
     dict(),                                         # headline: spp1, 1.4k faces
     dict(spp=4, repeats=10),
-    dict(spp=16, repeats=5, batch=8),
+    dict(spp=16, repeats=4),
     dict(resolution=75, repeats=10),                # ~11.6k faces
-    dict(resolution=75, spp=4, repeats=5, batch=8), # ~11.6k faces, spp 4
-    dict(resolution=160, repeats=5, batch=8),       # ~51k faces
+    dict(resolution=75, spp=4, repeats=5),          # ~11.6k faces, spp 4
+    dict(resolution=160, repeats=5),                # ~51k faces
     dict(smooth=1),                                 # Mitsuba-parity shading
+    dict(analytic=1),                               # analytic beam projector
 ]
 
 
@@ -164,6 +182,7 @@ _ENV_OF = {
     "size": "BENCH_SIZE", "spp": "BENCH_SPP", "bounces": "BENCH_BOUNCES",
     "repeats": "BENCH_REPEATS", "resolution": "BENCH_RESOLUTION",
     "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
+    "analytic": "BENCH_ANALYTIC_PROJ",
 }
 
 

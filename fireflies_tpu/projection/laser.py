@@ -190,6 +190,30 @@ def rays_to_texture_rgb(
     return tex[..., None] * color[None, None, :]
 
 
+def rays_to_beam_params(
+    rays_local: Array,
+    fov_deg: float,
+    sigma: float = 10.0,
+    texture_size=(256, 256),
+    color=(0.0, 1.0, 0.0),
+) -> dict:
+    """Analytic-projector param entries for SceneBridge.assemble.
+
+    The texture route (rays_to_texture_rgb -> params["tex.data"]) rasterizes
+    the beam splats to a grid the renderer then GATHERS from at every NEE
+    vertex; these entries instead carry the (K, 2) projector-NDC beam
+    coordinates so the emitter evaluates the continuous splat field
+    analytically (render/types.Projector beam mode) — no gather, no
+    rasterization, exact beam-direction gradients.  `sigma`/`texture_size`
+    keep the same squared-pixel falloff metric as the texture route."""
+    return {
+        "tex.beams": directions_to_ndc(rays_local, fov_deg),
+        "tex.beam_sigma": jnp.asarray(sigma, jnp.float32),
+        "tex.beam_color": jnp.asarray(color, jnp.float32),
+        "tex.beam_hw": (int(texture_size[0]), int(texture_size[1])),
+    }
+
+
 def epipolar_line_segments(
     rays_local: Array,
     laser_to_world: Array,

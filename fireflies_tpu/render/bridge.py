@@ -418,23 +418,49 @@ class SceneBridge:
         proj_ent = scene.projector()
         if proj_ent is not None:
             pname = proj_ent.name()
-            tex = params.get("tex.data", params.get(pname + ".irradiance.data"))
-            if tex is None:
-                if self._projector_texture is not None:
-                    tex = jnp.asarray(self._projector_texture)
-                else:
-                    tex = jnp.ones((8, 8, 3), jnp.float32)
-            tex = _chw_to_hwc(jnp.asarray(tex, jnp.float32))
-            pfov = params.get(pname + ".fov", jnp.asarray(self._projector_fov, jnp.float32))
-            projector = Projector.create(
-                params[pname + ".to_world"],
-                texture=tex,
-                fov=jnp.asarray(pfov, jnp.float32).reshape(-1)[0],
-                near=self._camera_near,
-                far=self._camera_far,
-                scale=self._projector_scale,
-                aperture=self._projector_aperture,
-            )
+            beams = params.get("tex.beams")
+            if beams is not None:
+                # Analytic beam-splat pattern (see render/types.Projector):
+                # "tex.beams" is (K, 2) projector-NDC beam coordinates;
+                # optional "tex.beam_sigma" (squared-pixel units of
+                # "tex.beam_hw", default (256, 256)) and "tex.beam_color".
+                projector = Projector.create(
+                    params[pname + ".to_world"],
+                    texture=None,
+                    fov=jnp.asarray(
+                        params.get(
+                            pname + ".fov",
+                            jnp.asarray(self._projector_fov, jnp.float32),
+                        ),
+                        jnp.float32,
+                    ).reshape(-1)[0],
+                    near=self._camera_near,
+                    far=self._camera_far,
+                    scale=self._projector_scale,
+                    aperture=self._projector_aperture,
+                    beams_ndc=beams,
+                    beam_sigma=params.get("tex.beam_sigma", 10.0),
+                    beam_color=params.get("tex.beam_color", (0.0, 1.0, 0.0)),
+                    beam_hw=params.get("tex.beam_hw", (256, 256)),
+                )
+            else:
+                tex = params.get("tex.data", params.get(pname + ".irradiance.data"))
+                if tex is None:
+                    if self._projector_texture is not None:
+                        tex = jnp.asarray(self._projector_texture)
+                    else:
+                        tex = jnp.ones((8, 8, 3), jnp.float32)
+                tex = _chw_to_hwc(jnp.asarray(tex, jnp.float32))
+                pfov = params.get(pname + ".fov", jnp.asarray(self._projector_fov, jnp.float32))
+                projector = Projector.create(
+                    params[pname + ".to_world"],
+                    texture=tex,
+                    fov=jnp.asarray(pfov, jnp.float32).reshape(-1)[0],
+                    near=self._camera_near,
+                    far=self._camera_far,
+                    scale=self._projector_scale,
+                    aperture=self._projector_aperture,
+                )
 
         return RenderScene(
             geometry=geometry,

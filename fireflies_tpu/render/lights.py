@@ -76,12 +76,33 @@ def eval_projector_v(projector: Projector, p: Vec3, tex_table: Array | None = No
     ndc_x = vx / (safe * tan_half)
     ndc_y = vy / (safe * tan_half)
 
-    uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
-    if tex_table is not None:
-        h, w = projector.texture.shape[0], projector.texture.shape[1]
-        tex = from_array(bilinear_sample_packed(tex_table, h, w, uv))
+    if projector.beams_ndc is not None:
+        # Analytic beam-splat pattern: evaluate the continuous Gaussian
+        # field the texture route rasterizes (falloff exp(-((d_px^2)/s)^2),
+        # graphics/rasterization.py), at this point's projector-NDC coords.
+        # Distances are flip-invariant, so NDC deltas scaled by the pixel
+        # metric reproduce the texture's pixel-space distances exactly.
+        # One fused broadcast-reduce over K beams — no gather, no scatter
+        # in the backward pass, and exact gradients w.r.t. the beam NDC.
+        h_px, w_px = projector.beam_hw
+        bx = projector.beams_ndc[:, 0]
+        by = projector.beams_ndc[:, 1]
+        dx = (ndc_x[:, None] - bx[None, :]) * (0.5 * w_px)
+        dy = (ndc_y[:, None] - by[None, :]) * (0.5 * h_px)
+        d2 = dx * dx + dy * dy
+        g = jnp.sum(jnp.exp(-jnp.square(d2 / projector.beam_sigma)), axis=-1)
+        tex = Vec3(
+            projector.beam_color[0] * g,
+            projector.beam_color[1] * g,
+            projector.beam_color[2] * g,
+        )
     else:
-        tex = from_array(bilinear_sample(projector.texture, uv))
+        uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
+        if tex_table is not None:
+            h, w = projector.texture.shape[0], projector.texture.shape[1]
+            tex = from_array(bilinear_sample_packed(tex_table, h, w, uv))
+        else:
+            tex = from_array(bilinear_sample(projector.texture, uv))
 
     in_frustum = (
         (depth > projector.near)
@@ -179,7 +200,15 @@ def eval_projector(projector: Projector, p: Array):
     uv = jnp.stack([(ndc_x + 1.0) * 0.5, (ndc_y + 1.0) * 0.5], axis=-1)
     import os as _os  # noqa: PLC0415
 
-    if _os.environ.get("FF_PROJ_CONST"):  # perf-bisection knob
+    if projector.beams_ndc is not None:
+        # Analytic beam-splat pattern (see eval_projector_v).
+        h_px, w_px = projector.beam_hw
+        dx = (ndc_x[:, None] - projector.beams_ndc[None, :, 0]) * (0.5 * w_px)
+        dy = (ndc_y[:, None] - projector.beams_ndc[None, :, 1]) * (0.5 * h_px)
+        d2 = dx * dx + dy * dy
+        g = jnp.sum(jnp.exp(-jnp.square(d2 / projector.beam_sigma)), axis=-1)
+        tex = g[:, None] * projector.beam_color[None, :]
+    elif _os.environ.get("FF_PROJ_CONST"):  # perf-bisection knob
         tex = jnp.broadcast_to(
             jnp.mean(projector.texture, axis=(0, 1)), (p.shape[0], 3)
         ) + 1e-20 * uv[:, :1]

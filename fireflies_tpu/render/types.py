@@ -52,34 +52,66 @@ class Projector(struct.PyTreeNode):
     Mitsuba equivalent: `projector` emitter with "tex.data" irradiance
     texture (reference main.py:64-77).  `texture` is (Ht, Wt, 3) and fully
     differentiable: gradients flow from rendered images back to the pattern.
+
+    ANALYTIC BEAM MODE: when `beams_ndc` is set (and texture may be None),
+    the emitter evaluates the laser pattern's Gaussian splats directly at
+    the projector-plane coordinate of each shading point — the continuous
+    field `sum_k exp(-((d_px^2)/sigma)^2)` whose rasterization the texture
+    route samples (graphics/rasterization.py falloff, reference
+    raster.py:31-35).  This skips the per-bounce texture gather (TPU
+    gathers are per-row bound, ~23 ms per 4M rays) AND the pattern's
+    rasterization + bilinear discretization, so beam-direction gradients
+    are exact.  `beam_hw` fixes the pixel metric so sigma means the same
+    squared-pixel units as the texture route at that resolution.
     """
 
     to_world: Array  # (4, 4)
     fov: Array  # () degrees
     near: Array
     far: Array
-    texture: Array  # (Ht, Wt, 3)
+    texture: Optional[Array]  # (Ht, Wt, 3); None in analytic beam mode
     scale: Array  # () intensity scale
     # Optional soft-shadow aperture radius (): see Lights.radius.
     aperture: Optional[Array] = None
+    # Analytic beam mode (all set together): (K, 2) projector-NDC beam
+    # coordinates, () splat sigma in squared-pixel units, (3,) beam color.
+    beams_ndc: Optional[Array] = None
+    beam_sigma: Optional[Array] = None
+    beam_color: Optional[Array] = None
+    # Static pixel metric (H, W) the sigma is expressed in.
+    beam_hw: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(
         cls, to_world, texture, fov=30.0, near=0.01, far=1000.0, scale=1.0,
-        aperture=None,
+        aperture=None, beams_ndc=None, beam_sigma=10.0,
+        beam_color=(0.0, 1.0, 0.0), beam_hw=(256, 256),
     ):
+        analytic = beams_ndc is not None
         return cls(
             to_world=jnp.asarray(to_world, jnp.float32),
             fov=jnp.asarray(fov, jnp.float32).reshape(()),
             near=jnp.asarray(near, jnp.float32).reshape(()),
             far=jnp.asarray(far, jnp.float32).reshape(()),
-            texture=jnp.asarray(texture, jnp.float32),
+            texture=(
+                jnp.asarray(texture, jnp.float32) if texture is not None else None
+            ),
             scale=jnp.asarray(scale, jnp.float32).reshape(()),
             aperture=(
                 jnp.asarray(aperture, jnp.float32).reshape(())
                 if aperture is not None
                 else None
             ),
+            beams_ndc=(
+                jnp.asarray(beams_ndc, jnp.float32) if analytic else None
+            ),
+            beam_sigma=(
+                jnp.asarray(beam_sigma, jnp.float32).reshape(()) if analytic else None
+            ),
+            beam_color=(
+                jnp.asarray(beam_color, jnp.float32).reshape(3) if analytic else None
+            ),
+            beam_hw=(int(beam_hw[0]), int(beam_hw[1])) if analytic else None,
         )
 
 
