@@ -127,3 +127,36 @@ def test_render_parity_and_beam_gradients():
     g = np.asarray(g)
     assert np.all(np.isfinite(g))
     assert np.abs(g).max() > 0
+
+
+def test_pattern_optimization_with_analytic_projector():
+    """optimize_pattern_through_render drives beam directions through the
+    analytic projector (pattern_params_fn route) — loss finite, beams move,
+    stay unit."""
+    from fireflies_tpu import optim
+
+    scene, kw = ff_scenes.vocalfold(resolution=8, n_anim_frames=2)
+    bridge = SceneBridge(scene, **kw)
+    randomize = scene.compile()
+    cfg = RenderConfig(width=32, height=32, spp=1, max_bounces=2, tri_chunk=64)
+    rays0 = _pattern_rays()
+
+    loss_fn = optim.make_variant_loss(
+        randomize,
+        bridge.assemble,
+        lambda sc, k: render_rgb(sc, k, cfg),
+        optim.dot_coverage_objective(),
+        pattern_params_fn=lambda r: laser_mod.rays_to_beam_params(
+            r, 30.0, sigma=10.0, texture_size=(256, 256)
+        ),
+    )
+    res = optim.optimize_pattern_through_render(
+        loss_fn, rays0, jax.random.key(3), steps=2, batch=2,
+        learning_rate=1e-2,
+    )
+    assert np.all(np.isfinite(np.asarray(res.losses)))
+    moved = np.abs(np.asarray(res.rays) - np.asarray(rays0)).max()
+    assert moved > 0
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(res.rays), axis=-1), 1.0, atol=1e-5
+    )
