@@ -58,6 +58,21 @@ def measure(
     """
     import numpy as np  # noqa: PLC0415
     import jax  # noqa: PLC0415
+
+    if os.environ.get("BENCH_PRNG"):
+        # Perf knob: threefry (default) burns VPU cycles on ~10 vectorized
+        # 4M-lane draws per step; "rbg"/"unsafe_rbg" use the TPU's native
+        # RngBitGenerator.  Opt-in so golden-image tests keep their keys.
+        jax.config.update("jax_default_prng_impl", os.environ["BENCH_PRNG"])
+    if os.environ.get("BENCH_COMPILE_CACHE"):
+        # Persistent compile cache for the TPU path (tunnel compiles cost
+        # 60-300s per shape).  Opt-in: tests keep it OFF because THIS
+        # jaxlib segfaults deserializing scan-transpose executables on
+        # XLA:CPU (tests/conftest.py); the TPU executable path must be
+        # verified separately before making this a default.
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["BENCH_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp  # noqa: PLC0415
     from fireflies_tpu.assets import scenes as ff_scenes  # noqa: PLC0415
     from fireflies_tpu.projection import laser as laser_mod  # noqa: PLC0415
@@ -85,7 +100,15 @@ def measure(
 
     rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)  # 144-beam pattern
 
-    analytic_proj = bool(int(os.environ.get("BENCH_ANALYTIC_PROJ", 0)))
+    # Headline default: the analytic beam-splat projector.  Same
+    # pattern-optimization workload and same gradients w.r.t. the beam
+    # directions as the texture route (the emitter evaluates the Gaussian
+    # splat field at each NEE vertex instead of gathering a rasterized
+    # texture), but it removes the two per-bounce ~23ms projector texture
+    # gathers + their scatter-grad.  The texture route stays available
+    # (BENCH_ANALYTIC_PROJ=0; recorded in the variants matrix) for
+    # arbitrary, non-beam textures.
+    analytic_proj = bool(int(os.environ.get("BENCH_ANALYTIC_PROJ", 1)))
 
     def loss(rays, key):
         if analytic_proj:
@@ -167,14 +190,15 @@ def measure(
 # spp16 at batch 8 lands at 1.16/s vs 2.12/s at batch 16 — the smaller ray
 # volume underutilizes the chip, it is NOT an spp nonlinearity).
 VARIANTS = [
-    dict(),                                         # headline: spp1, 1.4k faces
-    dict(spp=4, repeats=10),
-    dict(spp=16, repeats=4),
-    dict(resolution=75, repeats=10),                # ~11.6k faces
-    dict(resolution=75, spp=4, repeats=5),          # ~11.6k faces, spp 4
-    dict(resolution=160, repeats=5),                # ~51k faces
-    dict(smooth=1),                                 # Mitsuba-parity shading
-    dict(analytic=1),                               # analytic beam projector
+    dict(),                                 # headline: analytic proj, spp1, 1.4k faces
+    dict(analytic=0),                       # texture-route projector
+    dict(analytic=0, spp=4, repeats=10),
+    dict(analytic=0, spp=16, repeats=4),
+    dict(resolution=75, repeats=10),        # ~11.6k faces, analytic
+    dict(analytic=0, resolution=75, repeats=10),    # ~11.6k faces, texture
+    dict(analytic=0, resolution=75, spp=4, repeats=5),
+    dict(analytic=0, resolution=160, repeats=5),    # ~51k faces
+    dict(smooth=1),                         # Mitsuba-parity shading (analytic)
 ]
 
 

@@ -227,17 +227,27 @@ def probe_hitfrac(size=512):
 
 
 def _step_fn(bridge, randomize, cfg, batch):
-    """The bench.py unit of work as a rays->rays op (for timed_scan)."""
+    """The bench.py unit of work as a rays->rays op (for timed_scan).
+
+    FF_PROBE_ANALYTIC=1 probes the analytic beam-splat projector route
+    (bench.py's headline) instead of the rasterized-texture route.
+    """
     rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)
+    analytic = bool(int(os.environ.get("FF_PROBE_ANALYTIC", 0)))
 
     def loss(rays, key):
-        tex = laser_mod.rays_to_texture_rgb(
-            rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
-        )
+        if analytic:
+            extra = laser_mod.rays_to_beam_params(
+                rays, 30.0, sigma=10.0, texture_size=(256, 256)
+            )
+        else:
+            extra = {"tex.data": laser_mod.rays_to_texture_rgb(
+                rays, 30.0, sigma=10.0, texture_size=(256, 256), blur_kernel=0
+            )}
 
         def one(k):
             params = dict(randomize(k, 0))
-            params["tex.data"] = tex
+            params.update(extra)
             return jnp.mean(render_rgb(bridge.assemble(params), k, cfg))
 
         return jnp.mean(jax.vmap(one)(jax.random.split(key, batch)))
@@ -269,6 +279,12 @@ def probe_step(size=512, batch=16, n_iter=8):
         "FF_NEE_CONST_F", "FF_B1_FAKE_HIT", "FF_FAKE_ATTRS",
         "FF_NO_BASETEX", "FF_CONST_SAMPLE",
     ]
+    # FF_PROBE_VARIANTS="full,no_occl" runs a subset (each variant is a
+    # fresh trace + 60-300s tunnel compile; the full list costs ~30 min).
+    only = os.environ.get("FF_PROBE_VARIANTS")
+    if only:
+        keep = {v.strip() for v in only.split(",")}
+        variants = [v for v in variants if v[0] in keep]
     base = None
     for name, env, with_grad in variants:
         for k in knob_names:
