@@ -283,7 +283,9 @@ def probe_step(size=512, batch=16, n_iter=8):
     # fresh trace + 60-300s tunnel compile; the full list costs ~30 min).
     only = os.environ.get("FF_PROBE_VARIANTS")
     if only:
-        keep = {v.strip() for v in only.split(",")}
+        # "full" is always kept: frac_of_full is meaningless without its
+        # baseline (it used to silently report 1.0 for every variant).
+        keep = {v.strip() for v in only.split(",")} | {"full"}
         variants = [v for v in variants if v[0] in keep]
     base = None
     for name, env, with_grad in variants:
