@@ -136,6 +136,104 @@ def total_incident_v(
     return acc_wi, acc_dist, acc_rad
 
 
+def envmap_distribution(env_tex: Array, eps: float = 0.01) -> dict:
+    """Importance-sampling distribution over an equirectangular envmap.
+
+    Replaces Mitsuba's envmap emitter sampling (the reference's scenes can
+    carry `envmap`; Mitsuba importance-samples every emitter in NEE).  Cell
+    (i, j) covers theta in pi*[i, i+1]/H (theta measured from +Y, matching
+    texture.sample_envmap's v = 1 - theta/pi) and phi in 2*pi*[j/W - 0.5,
+    (j+1)/W - 0.5]; its weight is (3x3-neighborhood-max luminance
+    + eps * mean) * sin(theta_c).  The neighborhood max matters twice: it
+    keeps pdf > 0 wherever the BILINEAR radiance field is nonzero
+    (unbiasedness — a zero texel next to a bright one still receives
+    blended radiance), and it BOUNDS blended-radiance / cell-weight —
+    without it a dark texel bordering a bright one yields rare
+    blended-radiance / dark-pdf spikes (measured: 8% relative std at
+    spp 128 on a one-texel spot; the max collapses it).
+
+    Returns {"cdf": (H*W,) inclusive flat CDF, "pmf": (H, W) cell masses,
+    "h": H, "w": W} — all jittable (one cumsum; built once per render).
+    """
+    h, w = env_tex.shape[0], env_tex.shape[1]
+    lum = (
+        0.2126 * env_tex[:, :, 0]
+        + 0.7152 * env_tex[:, :, 1]
+        + 0.0722 * env_tex[:, :, 2]
+    )
+    lum = jnp.maximum(lum, 0.0)
+    # 3x3 neighborhood max: wrap in phi (the map is periodic), clamp in
+    # theta (pole rows have no neighbor beyond the pole).
+    lum = jnp.maximum(
+        lum, jnp.maximum(jnp.roll(lum, 1, axis=1), jnp.roll(lum, -1, axis=1))
+    )
+    shift_up = jnp.concatenate([lum[:1], lum[:-1]], axis=0)
+    shift_dn = jnp.concatenate([lum[1:], lum[-1:]], axis=0)
+    lum = jnp.maximum(lum, jnp.maximum(shift_up, shift_dn))
+    lum = lum + eps * jnp.maximum(jnp.mean(lum), 1e-12)
+    theta_c = jnp.pi * (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    weights = lum * jnp.sin(theta_c)[:, None]  # (H, W)
+    flat = weights.reshape(-1)
+    total = jnp.maximum(jnp.sum(flat), 1e-20)
+    pmf = weights / total
+    cdf = jnp.cumsum(flat) / total
+    return {"cdf": cdf, "pmf": pmf, "h": h, "w": w}
+
+
+def _envmap_cell_dir(i: Array, j: Array, ju: Array, jv: Array, h: int, w: int):
+    """Direction (component form) for jitter (ju, jv) inside cell (i, j),
+    in the ENVMAP frame (matches texture.sample_envmap: theta from +Y,
+    phi = atan2(x, -z))."""
+    theta = jnp.pi * (i.astype(jnp.float32) + jv) / h
+    phi = 2.0 * jnp.pi * ((j.astype(jnp.float32) + ju) / w - 0.5)
+    st = jnp.sin(theta)
+    return st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)
+
+
+def sample_envmap_nee(dist: dict, n_pts: int, key: Array):
+    """Draw one envmap direction per shading point from `dist`.
+
+    Returns (wi: Vec3 in the ENVMAP frame, pdf_solid (N,)).  The caller
+    rotates wi into world space (background_to_world) and evaluates
+    radiance with texture.sample_envmap so value and gradient paths match
+    the escape-radiance lookup exactly.
+
+    pdf_solid(dir) = pmf[i, j] * H * W / (2 pi^2 sin(theta)) — the exact
+    density of cell-categorical + in-cell-uniform sampling in (u, v),
+    pushed through the lat-long Jacobian.
+    """
+    h, w = dist["h"], dist["w"]
+    k_cell, k_jit = jax.random.split(key)
+    u = jax.random.uniform(k_cell, (n_pts,))
+    idx = jnp.clip(
+        jnp.searchsorted(dist["cdf"], u, side="left"), 0, h * w - 1
+    ).astype(jnp.int32)
+    i = idx // w
+    j = idx % w
+    jit = jax.random.uniform(k_jit, (2, n_pts))
+    dx, dy, dz = _envmap_cell_dir(i, j, jit[0], jit[1], h, w)
+    theta = jnp.pi * (i.astype(jnp.float32) + jit[1]) / h
+    pmf_ij = dist["pmf"].reshape(-1)[idx]
+    pdf = pmf_ij * (h * w) / (2.0 * jnp.pi * jnp.pi * jnp.maximum(jnp.sin(theta), 1e-6))
+    return Vec3(dx, dy, dz), pdf
+
+
+def envmap_pdf_of_dir(dist: dict, dx: Array, dy: Array, dz: Array) -> Array:
+    """pdf_solid the NEE sampler would assign to an (ENVMAP-frame) direction
+    — the MIS counterpart of sample_envmap_nee for BSDF-sampled escapes."""
+    h, w = dist["h"], dist["w"]
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
+    x, y, z = dx * inv_len, dy * inv_len, dz * inv_len
+    theta = jnp.arccos(jnp.clip(y, -1.0, 1.0))
+    phi_u = jnp.arctan2(x, -z) * (0.5 / jnp.pi) + 0.5  # in [0, 1]
+    i = jnp.clip((theta * (h / jnp.pi)).astype(jnp.int32), 0, h - 1)
+    j = jnp.clip((phi_u * w).astype(jnp.int32), 0, w - 1)
+    pmf_ij = dist["pmf"][i, j]
+    return pmf_ij * (h * w) / (
+        2.0 * jnp.pi * jnp.pi * jnp.maximum(jnp.sin(theta), 1e-6)
+    )
+
+
 def spot_falloff(cos_angle: Array, cutoff_cos: Array, beam_cos: Array) -> Array:
     """Mitsuba-style smooth spot falloff: 1 inside the beam, linear in cosine
     down to the cutoff, 0 outside."""

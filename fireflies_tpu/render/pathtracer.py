@@ -202,6 +202,13 @@ def trace_rays(
     has_uvs = scene.geometry.uvs is not None
     has_normals = scene.geometry.normals is not None
     tex_packs = _pack_textures(scene)
+    # Envmap NEE distribution (one cumsum per render): importance-sample
+    # the envmap as an emitter with MIS against BSDF sampling — without it
+    # an envmap is escape-only and small bright regions explode variance
+    # (Mitsuba importance-samples every emitter).
+    env_dist = None
+    if env_tex is not None and config.env_nee:
+        env_dist = lights_mod.envmap_distribution(env_tex)
 
     has_area_lights = scene.geometry.emissive_faces is not None
     prev_pdf = jnp.zeros((n_rays,), jnp.float32)  # bsdf pdf of the ray that got here
@@ -297,7 +304,17 @@ def trace_rays(
             bg = from_array(sample_envmap(env_tex, ex, ey, ez))
         else:
             bg = background
-        radiance = radiance + throughput * bg * jnp.where(escaped, 1.0, 0.0)
+        if env_dist is not None and bounce > 0:
+            # BSDF-sampled escape competes with envmap NEE at the previous
+            # vertex: power-heuristic MIS (the NEE side carries the
+            # complement).  Bounce 0 has no NEE competitor — full weight.
+            pdf_env_esc = lights_mod.envmap_pdf_of_dir(env_dist, ex, ey, ez)
+            w_esc = (prev_pdf * prev_pdf) / jnp.maximum(
+                prev_pdf * prev_pdf + pdf_env_esc * pdf_env_esc, 1e-12
+            )
+        else:
+            w_esc = 1.0
+        radiance = radiance + throughput * bg * jnp.where(escaped, w_esc, 0.0)
         active = active & hit.valid
 
         if _os.environ.get("FF_FAKE_ATTRS"):  # perf-bisection knob
@@ -469,6 +486,52 @@ def trace_rays(
             cos_i = jnp.abs(ns.dot(wi_l))  # |cos|: f() gates the side
             use = lit & ~blocked
             radiance = radiance + throughput * f * rad_l * jnp.where(use, cos_i, 0.0)
+
+        # ---- Envmap NEE (importance-sampled background) -------------------
+        if env_dist is not None:
+            wi_env, pdf_env = lights_mod.sample_envmap_nee(
+                env_dist, n_rays, jax.random.fold_in(bkey, 7)
+            )
+            # Radiance lookup in the ENVMAP frame (same path as escape
+            # lookups — value and texture gradients match exactly), then
+            # rotate the direction into world space for shading/occlusion.
+            rad_e = from_array(
+                sample_envmap(env_tex, wi_env.x, wi_env.y, wi_env.z)
+            )
+            if scene.background_to_world is not None:
+                r_env = scene.background_to_world[:3, :3]
+                wi_e = Vec3(
+                    r_env[0, 0] * wi_env.x + r_env[0, 1] * wi_env.y + r_env[0, 2] * wi_env.z,
+                    r_env[1, 0] * wi_env.x + r_env[1, 1] * wi_env.y + r_env[1, 2] * wi_env.z,
+                    r_env[2, 0] * wi_env.x + r_env[2, 1] * wi_env.y + r_env[2, 2] * wi_env.z,
+                )
+            else:
+                wi_e = wi_env
+            cos_e_geo = n.dot(wi_e)
+            side_e = jnp.where(cos_e_geo >= 0, 1.0, -1.0)
+            shadow_o_e = (p + n * (side_e * _SHADOW_EPS)).to_array()
+            # Dead-ray gating: dark samples / retired paths skip the kernel.
+            gate_e = active & (rad_e.max_component() > 0) & (pdf_env > 1e-12)
+            blocked_e = occluded_any(
+                shadow_o_e,
+                jax.lax.stop_gradient(wi_e.to_array()),
+                scene.geometry,
+                t_min=1e-4,
+                t_max=jnp.where(gate_e, jnp.float32(1e30), jnp.float32(-1.0)),
+                tri_chunk=config.tri_chunk,
+                backend=config.backend,
+            )
+            f_env = bsdf_mod.evaluate_v(params, ns, wo, wi_e, tangent=tangent)
+            p_b_env = bsdf_mod.pdf_v(params, ns, wo, wi_e, tangent=tangent)
+            w_mis_e = (pdf_env * pdf_env) / jnp.maximum(
+                pdf_env * pdf_env + p_b_env * p_b_env, 1e-12
+            )
+            cos_e = jnp.abs(ns.dot(wi_e))  # f() gates the side
+            use_e = gate_e & ~blocked_e
+            scale_e = jnp.where(
+                use_e, cos_e / jnp.maximum(pdf_env, 1e-12) * w_mis_e, 0.0
+            )
+            radiance = radiance + throughput * f_env * rad_e * scale_e
 
         # ---- Area-light NEE (emissive faces) ------------------------------
         if has_area_lights:

@@ -124,16 +124,37 @@ def sample_envmap(texture: Array, dx: Array, dy: Array, dz: Array) -> Array:
     `envmap` emitter convention: u from atan2 around +Y, v = acos(y)/pi
     with v=0 at +Y / image top).  Directions need not be unit.
 
+    Texel (i, j) is centered at theta = pi*(i+0.5)/H, phi-u = (j+0.5)/W —
+    the same cells lights.envmap_distribution importance-samples — and the
+    bilinear blend WRAPS horizontally (the phi seam is continuous; a bright
+    texel at column 0 must not lose half its footprint) and clamps
+    vertically at the poles.
+
     texture: (H, W, 3); returns (N, 3) radiance.  Differentiable w.r.t.
     the texture (and the direction, away from the u seam).
     """
     inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-20)
     x, y, z = dx * inv_len, dy * inv_len, dz * inv_len
     u = jnp.arctan2(x, -z) * (0.5 / jnp.pi) + 0.5
-    # bilinear_sample's v axis points UP (v=1 = top row); +Y (acos=0) must
-    # land on the image top, i.e. v=1.
-    v = 1.0 - jnp.arccos(jnp.clip(y, -1.0, 1.0)) * (1.0 / jnp.pi)
-    return bilinear_sample(texture, jnp.stack([u, v], axis=-1))
+    vt = jnp.arccos(jnp.clip(y, -1.0, 1.0)) * (1.0 / jnp.pi)  # 0 = top (+Y)
+    h, w = texture.shape[0], texture.shape[1]
+    fx = u * w - 0.5
+    fy = vt * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    t00 = texture[y0i, x0i]
+    t01 = texture[y0i, x1i]
+    t10 = texture[y1i, x0i]
+    t11 = texture[y1i, x1i]
+    top = t00 * (1.0 - tx) + t01 * tx
+    bot = t10 * (1.0 - tx) + t11 * tx
+    return top * (1.0 - ty) + bot * ty
 
 
 def bilinear_sample_stack(textures: Array, index: Array, uv: Array) -> Array:

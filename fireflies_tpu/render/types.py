@@ -349,3 +349,11 @@ class RenderConfig(struct.PyTreeNode):
     # reparameterize deeper vertices too (each adds ~3x reparam_k_aux
     # secondary traversals at that bounce).
     reparam_ind_bounces: int = struct.field(pytree_node=False, default=1)
+    # Envmap next-event estimation: importance-sample an (H, W, 3) envmap
+    # background (luminance x sin(theta) distribution) as an NEE emitter
+    # with power-heuristic MIS against BSDF sampling; BSDF-sampled escapes
+    # keep contributing with the complementary MIS weight.  Matches
+    # Mitsuba's emitter sampling; without it an envmap is escape-only and
+    # small bright regions explode variance.  No effect on scenes without
+    # an (H, W, 3) envmap.
+    env_nee: bool = struct.field(pytree_node=False, default=True)

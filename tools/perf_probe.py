@@ -257,9 +257,16 @@ def _step_fn(bridge, randomize, cfg, batch):
 
 def probe_step(size=512, batch=16, n_iter=8):
     """Step-level phase bisection.  Env knobs are read at TRACE time, so each
-    variant re-traces a fresh function after mutating os.environ."""
-    rs, bridge, randomize = _scene(24)
-    cfg = RenderConfig(width=size, height=size, spp=1, max_bounces=2)
+    variant re-traces a fresh function after mutating os.environ.
+
+    FF_PROBE_RESOLUTION sets the vocalfold mesh resolution (default 24 =
+    1.4k faces; 75 = 11.5k, the reference-realistic size); FF_PROBE_SPP
+    sets samples per pixel (default 1)."""
+    rs, bridge, randomize = _scene(int(os.environ.get("FF_PROBE_RESOLUTION", 24)))
+    cfg = RenderConfig(
+        width=size, height=size,
+        spp=int(os.environ.get("FF_PROBE_SPP", 1)), max_bounces=2,
+    )
 
     variants = [
         ("full", {}, True),
