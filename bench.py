@@ -55,6 +55,7 @@ def measure(
     tri_chunk: int = 512,
     ray_chunk: int = 0,
     smooth: int = 0,
+    grad_mode: str = "beams",
 ) -> dict:
     """One pattern-optimization throughput measurement.
 
@@ -99,6 +100,7 @@ def measure(
     cfg = RenderConfig(
         width=size, height=size, spp=spp, max_bounces=bounces,
         tri_chunk=tri_chunk, ray_chunk=ray_chunk,
+        coherent_bounce=bool(int(os.environ.get("BENCH_COHERENT", 0))),
     )
     # This int() is ALSO the early device->host read that flips the axon
     # tunnel into EAGER execution for the rest of the process.  Without any
@@ -120,6 +122,12 @@ def measure(
     # (BENCH_ANALYTIC_PROJ=0; recorded in the variants matrix) for
     # arbitrary, non-beam textures.
     analytic_proj = bool(int(os.environ.get("BENCH_ANALYTIC_PROJ", 1)))
+
+    if grad_mode != "beams":
+        return _measure_pose(
+            bridge, randomize, cfg, rays0, batch, repeats, size, spp,
+            bounces, n_faces, grad_mode,
+        )
 
     def loss(rays, key):
         if analytic_proj:
@@ -206,6 +214,135 @@ def measure(
     }
 
 
+def _measure_pose(
+    bridge, randomize, cfg, rays0, batch, repeats, size, spp, bounces,
+    n_faces, grad_mode,
+) -> dict:
+    """Pose-optimization throughput with BOUNDARY gradients on.
+
+    The headline beam-gradient workload differentiates through shading
+    only; a pose/shape-fitting user needs gradients across silhouettes —
+    the capability the reference buys from Mitsuba's reparameterized AD
+    (reference main.py:6, fireflies/graphics/depth.py:9,128).  Unit of
+    work: forward render + reverse-mode gradient of the pose-fitting loss
+    w.r.t. a mesh translation, averaged over a fixed batch of randomized
+    variants (targets pre-rendered once, untimed).
+
+    grad_mode:
+      * "pose_soft": hybrid objective — path-traced L2 (interior
+        gradients) + soft-silhouette mask L2 at BENCH_SOFT_SIZE^2
+        (boundary gradients); the supported recipe
+        (optim.hybrid_pose_loss).
+      * "pose_reparam": RenderConfig(reparam=True) — warped-area primary
+        visibility gradients inside the path tracer itself.
+    """
+    import numpy as np  # noqa: PLC0415
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+    from fireflies_tpu.projection import laser as laser_mod  # noqa: PLC0415
+    from fireflies_tpu.render import render_rgb  # noqa: PLC0415
+    from fireflies_tpu.render.soft import render_soft_silhouette  # noqa: PLC0415
+    from fireflies_tpu.optim.inverse import hybrid_pose_loss, image_l2  # noqa: PLC0415
+
+    soft_size = int(os.environ.get("BENCH_SOFT_SIZE", 256))
+    beam_params = laser_mod.rays_to_beam_params(
+        rays0, 30.0, sigma=10.0, texture_size=(256, 256)
+    )
+    if grad_mode == "pose_reparam":
+        cfg = cfg.replace(reparam=True)
+    soft_cfg = cfg.replace(width=soft_size, height=soft_size, reparam=False)
+
+    variant_keys = jax.random.split(jax.random.key(42), batch)
+
+    def assembled(k, delta):
+        params = dict(randomize(k, 0))
+        params.update(beam_params)
+        rs = bridge.assemble(params)
+        geo = rs.geometry
+        return rs.replace(geometry=geo.replace(vertices=geo.vertices + delta))
+
+    zero = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def make_targets(key):
+        def one(k):
+            rs = assembled(k, zero)
+            img = render_rgb(rs, jax.random.fold_in(key, 1), cfg.replace(reparam=False))
+            mask = (
+                render_soft_silhouette(rs, soft_cfg)
+                if grad_mode == "pose_soft"
+                else jnp.zeros((soft_size, soft_size))
+            )
+            return img, mask
+        return jax.vmap(one)(variant_keys)
+
+    tgt_imgs, tgt_masks = jax.tree.map(
+        jax.lax.stop_gradient, make_targets(jax.random.key(7))
+    )
+    jax.block_until_ready(tgt_imgs)
+
+    def loss(delta, key):
+        def one(k, tgt_img, tgt_mask, kr):
+            rs = assembled(k, delta)
+            img = render_rgb(rs, kr, cfg)
+            if grad_mode == "pose_soft":
+                mask = render_soft_silhouette(rs, soft_cfg)
+                return hybrid_pose_loss(img, tgt_img, mask, tgt_mask)
+            return image_l2(img, tgt_img)
+
+        render_keys = jax.random.split(key, batch)
+        return jnp.mean(
+            jax.vmap(one)(variant_keys, tgt_imgs, tgt_masks, render_keys)
+        )
+
+    step = jax.jit(jax.value_and_grad(loss))
+    key = jax.random.key(0)
+    delta0 = zero
+    val, grad = step(delta0, key)
+    jax.block_until_ready((val, grad))
+
+    trials = int(os.environ.get("BENCH_TRIALS", 3))
+    trial_dts = []
+    for trial in range(trials):
+        t0 = time.perf_counter()
+        delta = delta0
+        for i in range(repeats):
+            val, grad = step(delta, jax.random.fold_in(key, trial * 1000 + i))
+            delta = delta + 1e-20 * grad
+        checksum = float(jnp.sum(delta))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        trial_dts.append(dt)
+    dt = min(trial_dts)
+    renders_per_sec = repeats * batch / dt
+    per_trial = sorted(repeats * batch / t for t in trial_dts)
+    return {
+        "metric": (
+            f"{size}x{size} diff-renders/sec/chip "
+            f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces}, "
+            f"pose-grad {grad_mode.removeprefix('pose_')}"
+            + (f" mask{soft_size}" if grad_mode == "pose_soft" else "")
+            + ", analytic-projector)"
+        ),
+        "value": round(renders_per_sec, 3),
+        "unit": "renders/sec/chip",
+        "vs_baseline": round(renders_per_sec / BASELINE_PER_CHIP, 3),
+        "detail": {
+            "faces": n_faces, "spp": spp, "bounces": bounces, "batch": batch,
+            "repeats": repeats, "size": size,
+            "route": "analytic-beam-splat",
+            "grad_mode": grad_mode,
+            "optim_iters_per_sec": round(repeats / dt, 3),
+            "renders_per_sec_dispersion": {
+                "min": round(per_trial[0], 3),
+                "median": round(per_trial[len(per_trial) // 2], 3),
+                "max": round(per_trial[-1], 3),
+                "trials": len(per_trial),
+            },
+        },
+    }
+
+
 # Recorded matrix: reference-realistic loads (VERDICT r1 item 4).  The
 # reference's workload shapes: main.py renders 512x512 with spp 4..16 on
 # the ~10-40k-face vocalfold OBJ sequence; BASELINE names the 150-point
@@ -216,13 +353,21 @@ def measure(
 VARIANTS = [
     dict(),                                 # headline: analytic proj, spp1, 1.4k faces
     dict(analytic=0),                       # texture-route projector
+    dict(spp=4, repeats=10),                # analytic spp scaling
+    dict(spp=16, repeats=4),
     dict(analytic=0, spp=4, repeats=10),
     dict(analytic=0, spp=16, repeats=4),
     dict(resolution=75, repeats=10),        # ~11.6k faces, analytic
+    dict(resolution=75, spp=4, repeats=5),  # reference-realistic shape
     dict(analytic=0, resolution=75, repeats=10),    # ~11.6k faces, texture
     dict(analytic=0, resolution=75, spp=4, repeats=5),
-    dict(analytic=0, resolution=160, repeats=5),    # ~51k faces
+    dict(resolution=160, repeats=5),        # ~51k faces, analytic
+    dict(analytic=0, resolution=160, repeats=5),    # ~51k faces, texture
     dict(smooth=1),                         # Mitsuba-parity shading (analytic)
+    # Boundary-gradient (pose-fitting) workloads — the capability the
+    # reference buys from Mitsuba's reparameterized AD:
+    dict(grad_mode="pose_soft", repeats=10),
+    dict(grad_mode="pose_reparam", repeats=5),
 ]
 
 
@@ -230,7 +375,7 @@ _ENV_OF = {
     "size": "BENCH_SIZE", "spp": "BENCH_SPP", "bounces": "BENCH_BOUNCES",
     "repeats": "BENCH_REPEATS", "resolution": "BENCH_RESOLUTION",
     "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
-    "analytic": "BENCH_ANALYTIC_PROJ",
+    "analytic": "BENCH_ANALYTIC_PROJ", "grad_mode": "BENCH_GRAD_MODE",
 }
 
 
@@ -311,6 +456,7 @@ def main() -> None:
         batch=int(os.environ.get("BENCH_BATCH", 16)),
         ray_chunk=int(os.environ.get("BENCH_RAY_CHUNK", 0)) or 0,
         smooth=int(os.environ.get("FF_SMOOTH", 0)),
+        grad_mode=os.environ.get("BENCH_GRAD_MODE", "beams"),
     )
     print(json.dumps(r))  # driver contract: ONE JSON line
 

@@ -395,6 +395,7 @@ def _lobe_probs(params) -> tuple[Array, Array, Array]:
 def sample_v(
     params: dict[str, Array], n: Vec3, wo: Vec3, key: Array,
     tangent: Vec3 | None = None,
+    uniforms: tuple[Array, ...] | None = None,
 ) -> tuple[Vec3, Array, Vec3]:
     """Importance-sample wi; returns (wi, pdf, f) in component form.
 
@@ -404,14 +405,23 @@ def sample_v(
     (GGX half-vector, then Fresnel-weighted reflect/refract with TIR);
     pdf is the full mixture pdf so the estimator is unbiased regardless of
     the branch taken.
+
+    `uniforms` (optional): 5 (N,) arrays (u_sel, u1, u2, u3, u4) replacing
+    the iid draws — the caller controls the sample layout (e.g. per-tile
+    SHARED draws for kernel-coherent bounce directions, pathtracer
+    coherent_bounce).  Each point's marginal must be U(0,1) for the
+    estimator to stay unbiased; cross-point correlation is allowed.
     """
     n_pts = n.x.shape[0]
     lobes = _lobes(params)
     has_trans = "trans" in lobes
-    k_sel, k_a, k_b, k_c, k_d = jax.random.split(key, 5)
-    u_sel = jax.random.uniform(k_sel, (n_pts,))
-    u1 = jax.random.uniform(k_a, (n_pts,))
-    u2 = jax.random.uniform(k_b, (n_pts,))
+    if uniforms is not None:
+        u_sel, u1, u2, u3_pre, u4_pre = uniforms
+    else:
+        k_sel, k_a, k_b, k_c, k_d = jax.random.split(key, 5)
+        u_sel = jax.random.uniform(k_sel, (n_pts,))
+        u1 = jax.random.uniform(k_a, (n_pts,))
+        u2 = jax.random.uniform(k_b, (n_pts,))
 
     t, bt = _frame(n, tangent)
 
@@ -441,8 +451,11 @@ def sample_v(
     wi = v3m.where(take_diff, wi_diff, wi_spec)
 
     if has_trans:
-        u3 = jax.random.uniform(k_c, (n_pts,))
-        u4 = jax.random.uniform(k_d, (n_pts,))
+        if uniforms is not None:
+            u3, u4 = u3_pre, u4_pre
+        else:
+            u3 = jax.random.uniform(k_c, (n_pts,))
+            u4 = jax.random.uniform(k_d, (n_pts,))
         # Glass lobe: isotropic GGX half-vector, Fresnel-weighted branch.
         eta = _eta_rel(params)
         alpha_g = jnp.clip(params["roughness"], 0.01, 1.0) ** 2

@@ -592,6 +592,22 @@ def trace_rays(
                 wi = (d_v - ns * (2.0 * ns.dot(d_v))).normalized()
                 pdf = jnp.ones((n_rays,), jnp.float32)
                 f = Vec3(pdf * 0.3, pdf * 0.3, pdf * 0.3)
+            elif config.coherent_bounce:
+                # Per-tile SHARED sample draws (see RenderConfig.
+                # coherent_bounce): one (u_sel, u1, u2, u3, u4) draw per
+                # 2048-ray kernel tile, broadcast to the tile's rays.
+                # Marginals stay U(0,1) per pixel; tile direction boxes
+                # narrow to the tile's normal spread, so the culled
+                # bounce kernels prune.
+                n_tiles = -(-n_rays // 2048)
+                u_tiles = jax.random.uniform(
+                    jax.random.fold_in(bkey, 1), (5, n_tiles)
+                )
+                u_rays = jnp.repeat(u_tiles, 2048, axis=1)[:, :n_rays]
+                wi, pdf, f = bsdf_mod.sample_v(
+                    params, ns, wo, None, tangent=tangent,
+                    uniforms=tuple(u_rays),
+                )
             else:
                 wi, pdf, f = bsdf_mod.sample_v(
                     params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent

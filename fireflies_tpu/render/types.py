@@ -357,3 +357,14 @@ class RenderConfig(struct.PyTreeNode):
     # small bright regions explode variance.  No effect on scenes without
     # an (H, W, 3) envmap.
     env_nee: bool = struct.field(pytree_node=False, default=True)
+    # Tile-coherent bounce sampling ("coherent path tracing", Sadeghi et
+    # al. 2009, redesigned for the TPU kernels): every 2048-ray kernel
+    # tile SHARES one BSDF sample draw per bounce, so a tile's bounce
+    # directions spread only by its normal variation — the tile-culled
+    # intersection kernels' direction boxes then actually prune (iid
+    # hemisphere draws make every tile's box span the sphere).  Each
+    # pixel's draw is still marginally U(0,1): per-pixel estimates stay
+    # unbiased, converge at the iid rate across spp, and only the NOISE
+    # CORRELATION changes (tile-blocky instead of white at low spp).
+    # Requires tile-major ray order (the render_rgb path).
+    coherent_bounce: bool = struct.field(pytree_node=False, default=False)
