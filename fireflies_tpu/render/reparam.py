@@ -505,8 +505,13 @@ def make_warp_field(
 
         # lax.scan over the m slots (identical bodies): unrolling m plane
         # evaluations traced 10x+ longer to compile for no runtime benefit.
+        # jax.checkpoint on the body: under linearize / reverse-mode the
+        # scan otherwise STACKS each slot's _plane_eval/_screen_boundary
+        # intermediates — m slots x (n*m) rays x ~150 floats, measured
+        # 2.5 GiB at a 64x64 film and 23 GiB at 96x96 batch 2 (TPU OOM).
+        # Rematerializing the slot body stores only the small carry.
         (acc_eta, acc_val, q_min), _ = jax.lax.scan(
-            ext_slot,
+            jax.checkpoint(ext_slot),
             (acc_eta, acc_val, q_min),
             (prim_nm.T, valid.T),
         )
@@ -620,7 +625,9 @@ def make_warp_field(
                     return acc2, dbg
 
                 (acc_eta, acc_val, q_min), sdbg = jax.lax.scan(
-                    shadow_slot,
+                    # checkpoint: see the ext_slot scan (slot residuals
+                    # dominate memory); keep residuals when debugging.
+                    shadow_slot if debug else jax.checkpoint(shadow_slot),
                     (acc_eta, acc_val, q_min),
                     (bprim.T, blocked.T),
                 )
@@ -739,6 +746,14 @@ def _apply_warp(warp, u: Array):
     # (pathological on XLA:CPU) reparam grad-compile time.  The outer
     # reverse-mode theta-gradient flows through the linearization residuals
     # unchanged; values are bit-identical to the two-jvp form.
+    # jax.checkpoint on the WHOLE warp: linearize otherwise stores every
+    # per-aux-ray intermediate as a tangent residual and the outer
+    # reverse-mode pass stores them again — measured 9.3 GiB of HBM temp
+    # for a 64x64 film (23 GiB at 96x96 batch 2: instant TPU OOM).  With
+    # remat the tangent/backward passes recompute the warp instead;
+    # measured 64x64 grad temp 4406 -> 662 MiB at ~2x warp compute (the
+    # warp is aux-traversal-bound, a fraction of the full render).
+    warp = jax.checkpoint(warp)
     v, lin = jax.linearize(warp, u_det)
     dv_x, dv_y = jax.vmap(lin)(jnp.stack([ex, ey]))
 
