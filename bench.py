@@ -303,6 +303,111 @@ def measure_multichip(
     }
 
 
+def measure_datagen(
+    size: int = 512,
+    spp: int = 4,
+    resolution: int = 24,
+    batch: int = 8,
+    n_frames: int = 32,
+) -> dict:
+    """Production dataset-farm throughput (VERDICT r3 #5).
+
+    The reference's real workload is the 10k-frame loop: randomize ->
+    render -> segmentation -> postprocess -> rejection filter -> write
+    (/root/reference/main.py:147-193).  This measures datagen.
+    generate_dataset end-to-end — device render batches, host-side PNG
+    encode, connected-component rejection — in accepted frames/sec/chip at
+    the reference's 512^2 / spp-bucket-4 shape, and writes a frame manifest
+    (sha256 per accepted frame) to DATAGEN_MANIFEST.json.
+
+    Every dispatch ends in np.asarray(images) (a D2H readback), so the
+    timing protocol is honest by construction.
+    """
+    import hashlib  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+    from fireflies_tpu import datagen, postprocessing  # noqa: PLC0415
+    from fireflies_tpu.assets import scenes as ff_scenes  # noqa: PLC0415
+    from fireflies_tpu.projection import laser as laser_mod  # noqa: PLC0415
+    from fireflies_tpu.render import (  # noqa: PLC0415
+        RenderConfig, SceneBridge, integrators, render_rgb,
+    )
+
+    scene, kw = ff_scenes.vocalfold(resolution=resolution, n_anim_frames=4)
+    bridge = SceneBridge(scene, **kw)
+    randomize = scene.compile()
+    cfg = RenderConfig(width=size, height=size, spp=spp, max_bounces=2)
+    n_faces = int(bridge.assemble(
+        dict(randomize(jax.random.key(0), 0))
+    ).geometry.faces.shape[0])
+    rays0 = laser_mod.generate_uniform_rays(0.0275, 12, 12)
+    beam_params = laser_mod.rays_to_beam_params(
+        rays0, 30.0, sigma=10.0, texture_size=(256, 256)
+    )
+
+    @jax.jit
+    def render_batch(keys, steps):
+        def one(k, s):
+            params = dict(randomize(k, s))
+            params.update(beam_params)
+            rs = bridge.assemble(params)
+            img = render_rgb(rs, k, cfg)
+            img = postprocessing.gaussian_blur2d(img, (3, 3), (0.8, 0.8))
+            seg = integrators.render_segmentation(rs, cfg)
+            return jnp.clip(img, 0.0, 1.0), seg
+        return jax.vmap(one)(keys, steps)
+
+    with tempfile.TemporaryDirectory() as td:
+        # warmup dispatch (compile) outside the timed region
+        k0 = jax.random.split(jax.random.key(99), batch)
+        imgs, segs = render_batch(k0, jnp.arange(batch))
+        np.asarray(imgs), np.asarray(segs)
+
+        t0 = time.perf_counter()
+        got = datagen.generate_dataset(
+            render_batch, n_frames=n_frames, out_dir=td,
+            key=jax.random.key(0), batch=batch,
+        )
+        dt = time.perf_counter() - t0
+        frames = sorted((Path(td) / "images").glob("*.png"))
+        manifest = {
+            "config": {"size": size, "spp": spp, "faces": n_faces,
+                       "batch": batch, "n_frames": got},
+            "frames": [
+                {"name": f.name,
+                 "sha256": hashlib.sha256(f.read_bytes()).hexdigest()[:16]}
+                for f in frames
+            ],
+        }
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "DATAGEN_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    fps = got / dt
+    return {
+        "metric": (
+            f"{size}x{size} dataset-farm frames/sec/chip "
+            f"(vocalfold {n_faces} faces, spp={spp}, render+seg+postproc+"
+            "rejection+png, analytic-projector)"
+        ),
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        # BASELINE's north-star is the diff-render loop; the farm has no
+        # published per-chip target, so vs_baseline reuses the 12.5/chip
+        # render target as the denominator for cross-round comparability.
+        "vs_baseline": round(fps / BASELINE_PER_CHIP, 3),
+        "detail": {
+            "faces": n_faces, "spp": spp, "batch": batch,
+            "frames_accepted": got, "seconds": round(dt, 2),
+            "route": "analytic-beam-splat",
+        },
+    }
+
+
 def _measure_pose(
     bridge, randomize, cfg, rays0, batch, repeats, size, spp, bounces,
     n_faces, grad_mode,
@@ -338,7 +443,13 @@ def _measure_pose(
         rays0, 30.0, sigma=10.0, texture_size=(256, 256)
     )
     if grad_mode == "pose_reparam":
-        cfg = cfg.replace(reparam=True)
+        # reparam_chunk bounds the warp's peak memory: the full 512^2 film's
+        # warp transients (~160 KiB/ray) need terabytes; chunked at 2048
+        # rays x batch 16 the peak is a few GiB (render/reparam.py).
+        cfg = cfg.replace(
+            reparam=True,
+            reparam_chunk=int(os.environ.get("BENCH_REPARAM_CHUNK", 2048)),
+        )
     soft_cfg = cfg.replace(width=soft_size, height=soft_size, reparam=False)
 
     variant_keys = jax.random.split(jax.random.key(42), batch)
@@ -457,6 +568,9 @@ VARIANTS = [
     # reference buys from Mitsuba's reparameterized AD:
     dict(grad_mode="pose_soft", repeats=10),
     dict(grad_mode="pose_reparam", repeats=5),
+    # Production dataset farm: render+seg+postproc+rejection+png (VERDICT
+    # r3 #5; reference main.py:147-193).
+    dict(datagen=1),
 ]
 
 
@@ -465,6 +579,7 @@ _ENV_OF = {
     "repeats": "BENCH_REPEATS", "resolution": "BENCH_RESOLUTION",
     "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
     "analytic": "BENCH_ANALYTIC_PROJ", "grad_mode": "BENCH_GRAD_MODE",
+    "datagen": "BENCH_DATAGEN",
 }
 
 
@@ -534,6 +649,17 @@ def main() -> None:
             "value": 0.0, "unit": "renders/sec/chip", "vs_baseline": 0.0,
             "error": "TPU unreachable: bench subprocess hung/failed twice",
         }))
+        return
+
+    if os.environ.get("BENCH_DATAGEN"):
+        r = measure_datagen(
+            size=int(os.environ.get("BENCH_SIZE", 512)),
+            spp=int(os.environ.get("BENCH_SPP", 4)),
+            resolution=int(os.environ.get("BENCH_RESOLUTION", 24)),
+            batch=int(os.environ.get("BENCH_BATCH", 8)),
+            n_frames=int(os.environ.get("BENCH_FRAMES", 32)),
+        )
+        print(json.dumps(r))
         return
 
     if os.environ.get("BENCH_MULTICHIP"):

@@ -28,6 +28,26 @@ from fireflies_tpu.utils import math as ffmath
 Array = jax.Array
 
 
+@jax.checkpoint
+def _beam_splat_field(ndc_x: Array, ndc_y: Array, beams_ndc: Array,
+                      beam_sigma: Array, half_w: Array, half_h: Array):
+    """Sum-of-Gaussians beam splat g(p) = sum_k exp(-((d_px^2)/sigma)^2).
+
+    (K, R) layout on purpose: R (rays) is a multiple of 128 so it rides the
+    lane dimension pad-free, while K (beams, e.g. 144) rides sublanes — the
+    transposed (R, K) form pads K up to the next 128 lanes (measured 1.8x
+    HBM expansion on the OOM dump).  jax.checkpoint because the spp
+    lax.scan otherwise STACKS the (K, R) exp residuals per sample for the
+    backward pass: f32[spp, batch, 262144, 144] = 9 GiB unpadded at spp=4
+    batch=16 — instant OOM on a 16 GiB chip.  Recomputing the fused
+    broadcast-reduce in the backward pass is cheap VPU work.
+    """
+    dx = (beams_ndc[:, 0][:, None] - ndc_x[None, :]) * half_w  # (K, R)
+    dy = (beams_ndc[:, 1][:, None] - ndc_y[None, :]) * half_h
+    d2 = dx * dx + dy * dy
+    return jnp.sum(jnp.exp(-jnp.square(d2 / beam_sigma)), axis=0)  # (R,)
+
+
 def eval_light_v(lights: Lights, index: int, p: Vec3):
     """Component-form eval_light: returns (wi: Vec3, dist (N,), rad: Vec3)."""
     to_world = lights.to_world[index]
@@ -85,12 +105,10 @@ def eval_projector_v(projector: Projector, p: Vec3, tex_table: Array | None = No
         # One fused broadcast-reduce over K beams — no gather, no scatter
         # in the backward pass, and exact gradients w.r.t. the beam NDC.
         h_px, w_px = projector.beam_hw
-        bx = projector.beams_ndc[:, 0]
-        by = projector.beams_ndc[:, 1]
-        dx = (ndc_x[:, None] - bx[None, :]) * (0.5 * w_px)
-        dy = (ndc_y[:, None] - by[None, :]) * (0.5 * h_px)
-        d2 = dx * dx + dy * dy
-        g = jnp.sum(jnp.exp(-jnp.square(d2 / projector.beam_sigma)), axis=-1)
+        g = _beam_splat_field(
+            ndc_x, ndc_y, projector.beams_ndc, projector.beam_sigma,
+            jnp.float32(0.5 * w_px), jnp.float32(0.5 * h_px),
+        )
         tex = Vec3(
             projector.beam_color[0] * g,
             projector.beam_color[1] * g,
@@ -301,10 +319,10 @@ def eval_projector(projector: Projector, p: Array):
     if projector.beams_ndc is not None:
         # Analytic beam-splat pattern (see eval_projector_v).
         h_px, w_px = projector.beam_hw
-        dx = (ndc_x[:, None] - projector.beams_ndc[None, :, 0]) * (0.5 * w_px)
-        dy = (ndc_y[:, None] - projector.beams_ndc[None, :, 1]) * (0.5 * h_px)
-        d2 = dx * dx + dy * dy
-        g = jnp.sum(jnp.exp(-jnp.square(d2 / projector.beam_sigma)), axis=-1)
+        g = _beam_splat_field(
+            ndc_x, ndc_y, projector.beams_ndc, projector.beam_sigma,
+            jnp.float32(0.5 * w_px), jnp.float32(0.5 * h_px),
+        )
         tex = g[:, None] * projector.beam_color[None, :]
     elif _os.environ.get("FF_PROJ_CONST"):  # perf-bisection knob
         tex = jnp.broadcast_to(

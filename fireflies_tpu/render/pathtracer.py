@@ -640,6 +640,7 @@ def trace_rays(
                     radius=config.reparam_ind_radius,
                     tri_chunk=config.tri_chunk,
                     backend=config.backend,
+                    chunk=config.reparam_chunk,
                 )
                 wi = from_array(d_new)
                 throughput = throughput * area_ind
@@ -736,7 +737,7 @@ def _film_render_reparam(
         scene.camera, u, scene.geometry, k_warp,
         k_aux=config.reparam_k_aux, radius=config.reparam_radius,
         tri_chunk=config.tri_chunk, backend=config.backend,
-        light_positions=light_positions,
+        light_positions=light_positions, chunk=config.reparam_chunk,
     )
     o, d = rays_from_ndc(scene.camera, u_rep)
 

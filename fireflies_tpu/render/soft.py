@@ -106,7 +106,12 @@ def soft_silhouette(
         return not_cov * jnp.prod(1.0 - cov, axis=0), None
 
     init = jnp.ones((height, width), jnp.float32)
-    not_covered, _ = jax.lax.scan(body, init, (faces_c, mask_c))
+    # checkpoint: reverse-mode AD through the scan otherwise STACKS each
+    # iteration's (chunk, H, W) edge-distance/sigmoid residuals — measured
+    # f32[n_chunks, ., batch, H, W] multi-GiB HBM temps (TPU OOM at
+    # batch 16, 256^2, 1.4k faces).  Recomputing a chunk's rasterization in
+    # the backward pass costs ~2x forward VPU time and O(H*W) memory.
+    not_covered, _ = jax.lax.scan(jax.checkpoint(body), init, (faces_c, mask_c))
     return 1.0 - not_covered
 
 

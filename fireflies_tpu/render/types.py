@@ -336,6 +336,11 @@ class RenderConfig(struct.PyTreeNode):
     # render_rgb at ~3x reparam_k_aux extra primary traversals per sample.
     reparam: bool = struct.field(pytree_node=False, default=False)
     reparam_k_aux: int = struct.field(pytree_node=False, default=8)
+    # Rays per warp chunk (0 = whole film at once).  The warp's transient
+    # footprint is ~160 KiB/ray, so full 512^2 films MUST be chunked on a
+    # 16 GiB chip; lax.map over chunks is exactly equivalent (row-wise warp,
+    # shared constellation) and also cuts the reparam compile time.
+    reparam_chunk: int = struct.field(pytree_node=False, default=0)
     reparam_radius: float = struct.field(pytree_node=False, default=0.05)
     # Warped-area reparameterization of the first BSDF-sampled (indirect)
     # bounce: silhouettes of occluders as seen from the primary hit become

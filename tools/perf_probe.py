@@ -9,7 +9,7 @@ Protocol (CLAUDE.md "MEASUREMENT TRUTH"):
   * Every timed region ends with a host readback that data-depends on all
     timed work.
 
-Usage: python tools/perf_probe.py kernel|hitfrac|step|all [out.json]
+Usage: python tools/perf_probe.py kernel|hitfrac|step|roofline|all [out.json]
 """
 
 from __future__ import annotations
@@ -324,6 +324,161 @@ def probe_step(size=512, batch=16, n_iter=8):
         os.environ.pop(k, None)
 
 
+def probe_roofline(size=512, n_iter=20):
+    """MFU/roofline accounting (VERDICT r3 weak #3): per-pass achieved
+    FLOP/s and bytes/s as a fraction of MEASURED same-session hardware
+    roofs, so the headline renders/sec gets a denominator.
+
+    Roofs are measured, not quoted: the axon tunnel's delivered throughput
+    drifts up to 30x between sessions, so a published peak (v5e-1: 819 GB/s
+    HBM, ~197 bf16 MXU TFLOP/s) is not what this session can reach.  Three
+    microbenchmarks run first and every pass is reported against them:
+
+      * vpu_roof:   K chained f32 FMAs on a VMEM-sized array (pure VPU);
+      * hbm_roof:   elementwise add over a 256 MiB array (read + write);
+      * gather_roof: rows/sec of a 4M-row packed gather (the per-row-bound
+        cost that dominates attribute fetch — CLAUDE.md kernel facts).
+
+    Pass work is counted, not modeled: the tile-cull pass's cluster lists
+    give the EXACT number of (tile, cluster) pairs the kernel visits, so
+    ray-triangle tests = sum(counts) * chunk * rays_per_tile (an upper
+    bound: the kernel also early-outs on best-t).  FLOPs/test = 36 from the
+    Woop inner loop (9 FMA transform + bary/interval compares; compares and
+    selects counted as 1 VPU op each).
+    """
+    from fireflies_tpu.render.pallas.intersect_culled import (
+        intersect_pallas_shared_culled,
+        tile_cluster_lists,
+        tile_cluster_lists_general,
+    )
+    from fireflies_tpu.render.pallas.intersect_kernel import (
+        LANES,
+        SUBLANES,
+        intersect_pallas,
+        pack_dirs,
+        pack_triangles_woop,
+    )
+
+    flops_per_test = 36.0
+    rays_per_tile = SUBLANES * LANES
+
+    # --- measured roofs (same session as the passes) ----------------------
+    n_vpu = 512 * 1024
+    k_fma = 64
+    n_streams = 8  # independent chains: a single serial FMA chain is
+    # LATENCY-bound (measured 364 GFLOP/s vs a kernel later hitting 954),
+    # not throughput-bound; ILP across streams exposes the real issue rate.
+    a = jnp.float32(1.0000001)
+
+    def vpu_op(xs):
+        ys = list(xs)
+        for i in range(k_fma):
+            ys = [y * a + jnp.float32(1e-7 * (i + j)) for j, y in enumerate(ys)]
+        return tuple(ys)
+
+    x0 = tuple(jnp.full(n_vpu, 1.0 + 0.1 * j, jnp.float32)
+               for j in range(n_streams))
+    dt = timed_scan(vpu_op, x0, n_iter)
+    vpu_roof = 2.0 * k_fma * n_vpu * n_streams / dt  # FLOP/s
+    _emit("roofline_vpu_roof", gflops=round(vpu_roof / 1e9, 1),
+          ms=round(dt * 1e3, 3))
+
+    n_hbm = 64 * 1024 * 1024  # 256 MiB f32
+
+    def hbm_op(x):
+        return x + 1.0
+
+    dt = timed_scan(hbm_op, jnp.ones(n_hbm, jnp.float32), n_iter)
+    hbm_roof = 8.0 * n_hbm / dt  # bytes/s (read + write)
+    _emit("roofline_hbm_roof", gbytes_s=round(hbm_roof / 1e9, 1),
+          ms=round(dt * 1e3, 3))
+
+    n_rows_g, width_g = 4 * 1024 * 1024, 8
+    table = jnp.arange(n_rows_g * width_g, dtype=jnp.float32).reshape(
+        n_rows_g, width_g)
+    idx0 = jax.random.randint(jax.random.key(0), (n_rows_g,), 0, n_rows_g)
+
+    def gather_op(idx):
+        g = table[idx]
+        # data-dependent next index so scan iterations can't overlap
+        return (idx + g[:, 0].astype(jnp.int32)) % n_rows_g
+
+    dt = timed_scan(gather_op, idx0, max(n_iter // 4, 4))
+    gather_rows_s = n_rows_g / dt
+    _emit("roofline_gather_roof", mrows_s=round(gather_rows_s / 1e6, 1),
+          ms=round(dt * 1e3, 3),
+          eff_gbytes_s=round(n_rows_g * width_g * 4 / dt / 1e9, 2))
+
+    # --- per-pass accounting ----------------------------------------------
+    for resolution in (24, 75):
+        rs, _, _ = _scene(resolution)
+        n_faces = int(rs.geometry.faces.shape[0])
+        o, d, _inv = camera_rays_tiled(rs.camera, size, size,
+                                       key=jax.random.key(1))
+        cam = rs.camera.to_world[:3, 3]
+        verts, faces = rs.geometry.vertices, rs.geometry.faces
+        n_rays = d.shape[0]
+
+        for pass_name, chunk in (("primary_culled16", 16),):
+            woop, boxes = pack_triangles_woop(verts, faces, cam, chunk=chunk)
+            dirs_soa, tmax_tiles, _n = pack_dirs(d, 1e30)
+            _lists, counts = tile_cluster_lists(dirs_soa, boxes,
+                                                tmax_tiles=tmax_tiles)
+            tests = float(jnp.sum(counts)) * chunk * rays_per_tile
+            slab_pairs = float(jnp.sum(counts))
+
+            def op(dd):
+                t = intersect_pallas_shared_culled(
+                    cam, dd, verts, faces, chunk=16)[0]
+                return dd + 1e-24 * t[:, None]
+
+            dt = timed_scan(op, d, n_iter)
+            flops = tests * flops_per_test
+            _emit(
+                f"roofline_r{resolution}_{pass_name}",
+                faces=n_faces, ms=round(dt * 1e3, 3),
+                mray_s=round(n_rays / dt / 1e6, 1),
+                tests_per_ray=round(tests / n_rays, 1),
+                est_gflops=round(flops / 1e9, 2),
+                achieved_gflops_s=round(flops / dt / 1e9, 1),
+                pct_vpu_roof=round(100 * flops / dt / vpu_roof, 1),
+            )
+
+        # Bounce (general) pass: hemisphere directions at primary hit points.
+        from fireflies_tpu.render.intersect import closest_hit
+
+        hit = jax.jit(
+            lambda dd: closest_hit(None, dd, rs.geometry, shared_origin=cam)
+        )(d)
+        p = o + d * jnp.where(hit.valid, hit.t, 1.0)[:, None]
+        dr = jax.random.normal(jax.random.key(2), d.shape)
+        dr = dr / jnp.linalg.norm(dr, axis=-1, keepdims=True)
+        chunk_g = 64
+        # origin 0 => origin-shifted boxes ARE world-space (general pass).
+        from fireflies_tpu.render.pallas.intersect_kernel import pack_rays
+        _woop, boxes = pack_triangles_woop(
+            verts, faces, jnp.zeros(3, jnp.float32), chunk=chunk_g)
+        rays_soa, _tmax, _n = pack_rays(p, dr, 1e30)
+        _lists, counts = tile_cluster_lists_general(rays_soa, boxes)
+        tests = float(jnp.sum(counts)) * chunk_g * rays_per_tile
+
+        def op_g(dd):
+            t = intersect_pallas(p, dd, verts, faces)[0]
+            return dd + 1e-24 * t[:, None]
+
+        dt = timed_scan(op_g, dr, n_iter)
+        flops = tests * flops_per_test
+        _emit(
+            f"roofline_r{resolution}_bounce_general",
+            faces=n_faces, ms=round(dt * 1e3, 3),
+            mray_s=round(n_rays / dt / 1e6, 1),
+            tests_per_ray=round(tests / n_rays, 1),
+            est_gflops=round(flops / 1e9, 2),
+            achieved_gflops_s=round(flops / dt / 1e9, 1),
+            pct_vpu_roof=round(100 * flops / dt / vpu_roof, 1),
+        )
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     out = sys.argv[2] if len(sys.argv) > 2 else None
@@ -337,6 +492,8 @@ def main():
         probe_hitfrac()
     if what in ("kernel", "all"):
         probe_kernel()
+    if what in ("roofline", "all"):
+        probe_roofline()
     if what in ("step", "all"):
         probe_step()
     print(f"# total {time.perf_counter() - t_all:.0f}s", flush=True)
