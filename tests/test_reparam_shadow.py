@@ -130,11 +130,15 @@ def test_detached_renderer_zero_shadow_gradient():
 
 
 def test_shadow_boundary_gradient_matches_analytic():
+    """Tolerance is set from an 8-seed characterization (r4): estimator
+    mean -0.1519 vs analytic -0.1626 => systematic bias 6.5%, seed std 2.3%
+    (sem 0.8%).  Two seeds land within ~9% worst-case; 0.12 keeps headroom
+    without re-hiding a sign/magnitude regression the old 0.25 would."""
     dx0 = 0.3
     ref = _analytic_grad(dx0)
     grads = [_mean_grad(dx0, seed=s) for s in range(2)]
     g = float(np.mean(grads))
-    assert g == pytest.approx(ref, rel=0.25), (g, ref, grads)
+    assert g == pytest.approx(ref, rel=0.12), (g, ref, grads)
 
 
 def test_pure_pose_recovery_with_reparam_only():
