@@ -199,6 +199,7 @@ def measure(
             f"{size}x{size} diff-renders/sec/chip "
             f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces}"
             + (", smooth" if smooth else "")
+            + (", coherent-bounce" if cfg.coherent_bounce else "")
             + (", analytic-projector" if analytic_proj else "") + ")"
         ),
         "value": round(renders_per_sec, 3),
@@ -559,6 +560,10 @@ VARIANTS = [
     dict(analytic=0, spp=16, repeats=4),
     dict(resolution=75, repeats=10),        # ~11.6k faces, analytic
     dict(resolution=75, spp=4, repeats=5),  # reference-realistic shape
+    # Tile-coherent bounce sampling: shared per-tile BSDF draws let the
+    # general cull prune (unbiased, correlated noise); measured 2.04x at
+    # this shape (3.62 -> 7.37).
+    dict(resolution=75, spp=4, repeats=5, coherent=1),
     dict(analytic=0, resolution=75, repeats=10),    # ~11.6k faces, texture
     dict(analytic=0, resolution=75, spp=4, repeats=5),
     dict(resolution=160, repeats=5),        # ~51k faces, analytic
@@ -567,7 +572,13 @@ VARIANTS = [
     # Boundary-gradient (pose-fitting) workloads — the capability the
     # reference buys from Mitsuba's reparameterized AD:
     dict(grad_mode="pose_soft", repeats=10),
-    dict(grad_mode="pose_reparam", repeats=5),
+    # pose_reparam at 256^2: the 512^2 grad kills the chip (TPU device
+    # error at warmup) even with the warp chunks checkpointed — the
+    # forward alone at 512^2 runs ~8 min/step through the tunnel, so the
+    # production recipe for boundary gradients at 512^2 remains pose_soft
+    # (26/s); this entry records what warped-area reparam costs at the
+    # largest film that executes.
+    dict(grad_mode="pose_reparam", repeats=2, batch=4, size=256),
     # Production dataset farm: render+seg+postproc+rejection+png (VERDICT
     # r3 #5; reference main.py:147-193).
     dict(datagen=1),
@@ -579,7 +590,7 @@ _ENV_OF = {
     "repeats": "BENCH_REPEATS", "resolution": "BENCH_RESOLUTION",
     "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
     "analytic": "BENCH_ANALYTIC_PROJ", "grad_mode": "BENCH_GRAD_MODE",
-    "datagen": "BENCH_DATAGEN",
+    "datagen": "BENCH_DATAGEN", "coherent": "BENCH_COHERENT",
 }
 
 
@@ -619,16 +630,29 @@ def main() -> None:
         # pathology, CLAUDE.md), so measurements must not share a process.
         # Failures/hangs skip the variant instead of aborting the matrix.
         timeout_s = int(os.environ.get("BENCH_VARIANT_TIMEOUT", 2400))
+        out_path = os.path.join(os.path.dirname(__file__) or ".",
+                                "BENCH_VARIANTS.json")
+        # BENCH_VARIANTS_ONLY="6,8,14" re-measures a subset (0-based
+        # indices into VARIANTS) and MERGES into the existing file keyed
+        # by metric string — a full matrix run is hours through the
+        # tunnel; this keeps the artifact fresh after targeted changes.
+        only = os.environ.get("BENCH_VARIANTS_ONLY", "")
+        idxs = ([int(i) for i in only.split(",") if i.strip()]
+                if only else range(len(VARIANTS)))
         results = []
-        for v in VARIANTS:
+        if only and os.path.exists(out_path):
+            with open(out_path) as f:
+                results = json.load(f)
+        for i in idxs:
+            v = VARIANTS[i]
             r = _run_one_subprocess(
                 {_ENV_OF[k]: val for k, val in v.items()}, timeout_s)
             if r is None:
                 continue
             print(json.dumps(r), flush=True)
-            results.append(r)
-        with open(os.path.join(os.path.dirname(__file__) or ".",
-                               "BENCH_VARIANTS.json"), "w") as f:
+            results = ([x for x in results if x["metric"] != r["metric"]]
+                       + [r])
+        with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
         return
 

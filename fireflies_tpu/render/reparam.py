@@ -756,7 +756,10 @@ def reparam_direction(
         x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, 3))])
         w = jnp.concatenate([w, jnp.broadcast_to(w[:1], (pad, 3))])
     d_new, area = jax.lax.map(
-        lambda xw: one_chunk(*xw),
+        # checkpoint: see _apply_warp_chunked — the body's linearize
+        # residuals otherwise stack per scan iteration in the outer
+        # reverse pass.
+        jax.checkpoint(lambda xw: one_chunk(*xw)),
         (x.reshape(-1, chunk, 3), w.reshape(-1, chunk, 3)),
     )
     return d_new.reshape(-1, 3)[:n], area.reshape(-1)[:n]
@@ -780,7 +783,16 @@ def _apply_warp_chunked(warp, u: Array, chunk: int):
     pad = (-n) % chunk
     u_p = jnp.concatenate([u, jnp.broadcast_to(u[:1], (pad, 2))]) if pad else u
     uc = u_p.reshape(-1, chunk, 2)
-    u_new, area = jax.lax.map(lambda ui: _apply_warp(warp, ui), uc)
+    # checkpoint the WHOLE map body, not just the warp: _apply_warp's
+    # jax.linearize keeps every warp intermediate alive as a tangent
+    # residual (forward-mode — jax.checkpoint inside it only affects
+    # reverse passes), and the outer reverse-mode scan STACKS those
+    # per-iteration residuals: measured 2.8 GiB/chunk at chunk 16384, so a
+    # 512^2 film wanted 45 GiB and hard-crashed the chip while 256^2
+    # (11 GiB) just fit.  With the body checkpointed the scan saves only
+    # the chunk inputs and re-linearizes in the backward pass.
+    u_new, area = jax.lax.map(
+        jax.checkpoint(lambda ui: _apply_warp(warp, ui)), uc)
     return u_new.reshape(-1, 2)[:n], area.reshape(-1)[:n]
 
 
