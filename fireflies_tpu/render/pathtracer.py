@@ -333,6 +333,23 @@ def trace_rays(
             if has_uvs:
                 attrs["uv_x"] = pos.x - jnp.floor(pos.x)
                 attrs["uv_y"] = pos.y - jnp.floor(pos.y)
+        elif _os.environ.get("FF_ATTRS_GATHER_ONLY"):  # perf-bisection knob
+            # The packed gather RUNS but the barycentric re-derivation math
+            # is replaced by raw row reads: full - this = attr MATH cost;
+            # this - fake_attrs = the gather itself.  Splits the
+            # hit_attributes_table budget so the optimization target is
+            # known (per-row-bound gather vs fusable VPU chains).
+            prim = jnp.maximum(hit.prim, 0)
+            row = face_table[prim]
+            pos = o_v + d_v * hit.t
+            attrs = {
+                "position": pos,
+                "normal": v3m.Vec3(row[:, 0], row[:, 1], row[:, 2]).normalized(),
+                "mat_id": row[:, 15].astype(jnp.int32),
+            }
+            if has_uvs:
+                attrs["uv_x"] = row[:, 9]
+                attrs["uv_y"] = row[:, 10]
         else:
             attrs = hit_attributes_table(
                 o_v, d_v, hit, face_table, has_uvs, has_normals

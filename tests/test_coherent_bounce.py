@@ -84,6 +84,35 @@ def test_coherent_bounce_unbiased():
     assert abs(iid.mean() - coh.mean()) < max(4.0 * se, 0.02 * iid.mean())
 
 
+def test_coherent_bounce_per_pixel_variance_parity():
+    """Per-PIXEL noise must not degrade: a pixel's estimate is the same
+    function of one marginally-U(0,1) draw in both modes, so its variance
+    is identical in expectation — sharing changes only the cross-pixel
+    correlation.  This is the quality claim that lets the reference-workload
+    bench run coherent_bounce: equal noise per sample per pixel."""
+    scene = _box_scene()
+    cfg = RenderConfig(width=16, height=16, spp=2, max_bounces=3, tri_chunk=64)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("coherent",))
+    def img(k, coherent):
+        return render_rgb(scene, k, cfg.replace(coherent_bounce=coherent))
+
+    keys = jax.random.split(jax.random.key(7), 32)
+    iid = np.stack([np.asarray(img(k, coherent=False)) for k in keys])
+    coh = np.stack([np.asarray(img(k, coherent=True)) for k in keys])
+    # Mean per-pixel variance across seeds.  Coherent pixel variances are
+    # correlated across the image (shared draws), so the averaged estimate
+    # keeps ~the single-pixel chi-square noise (rel std ~ sqrt(2/31) = 25%);
+    # the band below catches any real blowup (2x) without flaking.
+    v_iid = float(iid.var(axis=0).mean())
+    v_coh = float(coh.var(axis=0).mean())
+    assert v_iid > 0
+    ratio = v_coh / v_iid
+    assert 0.5 < ratio < 2.0, (v_iid, v_coh)
+
+
 def test_coherent_bounce_gradients_finite():
     """The shared-draw path must stay differentiable (pattern-optimization
     unit of work runs under grad)."""

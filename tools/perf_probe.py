@@ -279,6 +279,7 @@ def probe_step(size=512, batch=16, n_iter=8):
         ("nee_const_f", {"FF_NEE_CONST_F": "1"}, True),
         ("b1_fake_hit", {"FF_B1_FAKE_HIT": "1"}, True),
         ("fake_attrs", {"FF_FAKE_ATTRS": "1"}, True),
+        ("attrs_gather_only", {"FF_ATTRS_GATHER_ONLY": "1"}, True),
         ("no_basetex", {"FF_NO_BASETEX": "1"}, True),
         ("const_sample", {"FF_CONST_SAMPLE": "1"}, True),
         ("bounces1", {"_BOUNCES": "1"}, True),
@@ -286,7 +287,7 @@ def probe_step(size=512, batch=16, n_iter=8):
     knob_names = [
         "FF_SKIP_OCCL", "FF_SKIP_NEE", "FF_NEE_CONST_RAD",
         "FF_NEE_CONST_F", "FF_B1_FAKE_HIT", "FF_FAKE_ATTRS",
-        "FF_NO_BASETEX", "FF_CONST_SAMPLE",
+        "FF_ATTRS_GATHER_ONLY", "FF_NO_BASETEX", "FF_CONST_SAMPLE",
     ]
     # FF_PROBE_VARIANTS="full,no_occl" runs a subset (each variant is a
     # fresh trace + 60-300s tunnel compile; the full list costs ~30 min).
