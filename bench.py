@@ -101,6 +101,13 @@ def measure(
         width=size, height=size, spp=spp, max_bounces=bounces,
         tri_chunk=tri_chunk, ray_chunk=ray_chunk,
         coherent_bounce=bool(int(os.environ.get("BENCH_COHERENT", 0))),
+        # Pattern optimization differentiates w.r.t. the BEAMS only — same
+        # semantics as the reference, whose Dr.Jit graph attaches just the
+        # laser texture (reference optimize_laser); geometry gradients are
+        # not part of this workload, so hit attributes come straight from
+        # the intersection kernels (no per-vertex face-table gathers).
+        # BENCH_STATIC_GEOM=0 measures the fully-differentiable-attrs path.
+        static_geometry=bool(int(os.environ.get("BENCH_STATIC_GEOM", 1))),
     )
     # This int() is ALSO the early device->host read that flips the axon
     # tunnel into EAGER execution for the rest of the process.  Without any
@@ -124,9 +131,11 @@ def measure(
     analytic_proj = bool(int(os.environ.get("BENCH_ANALYTIC_PROJ", 1)))
 
     if grad_mode != "beams":
+        # Pose modes differentiate w.r.t. GEOMETRY (mesh translation): the
+        # static-geometry attr fast path would zero those gradients.
         return _measure_pose(
-            bridge, randomize, cfg, rays0, batch, repeats, size, spp,
-            bounces, n_faces, grad_mode,
+            bridge, randomize, cfg.replace(static_geometry=False), rays0,
+            batch, repeats, size, spp, bounces, n_faces, grad_mode,
         )
 
     def loss(rays, key):

@@ -220,6 +220,27 @@ def _use_pallas(backend: str, n_faces: int) -> bool:
     return jax.default_backend() not in ("cpu",) and n_faces <= PALLAS_MAX_TRIS
 
 
+def _attrs_fallback(hit: Hit, geometry: Geometry) -> Hit:
+    """Fill Hit.nx/ny/nz/mat for paths whose kernels don't emit them: ONE
+    packed (F, 4) gather of [face normal, mat id] rows (per-row-bound like
+    any TPU gather, but 4x narrower than the differentiable face table and
+    with none of the re-derivation math).  Detached by construction."""
+    v0 = geometry.vertices[geometry.faces[:, 0]]
+    e1 = geometry.vertices[geometry.faces[:, 1]] - v0
+    e2 = geometry.vertices[geometry.faces[:, 2]] - v0
+    n = jnp.cross(e1, e2)
+    table = jax.lax.stop_gradient(
+        jnp.concatenate(
+            [n, geometry.face_mat[:, None].astype(jnp.float32)], axis=1
+        )
+    )
+    rows = table[jnp.maximum(hit.prim, 0)]
+    return hit.replace(
+        nx=rows[:, 0], ny=rows[:, 1], nz=rows[:, 2],
+        mat=rows[:, 3].astype(jnp.int32),
+    )
+
+
 def closest_hit(
     o: Array,
     d: Array,
@@ -229,12 +250,18 @@ def closest_hit(
     tri_chunk: int = 512,
     backend: str = "auto",
     shared_origin: Array | None = None,
+    emit_attrs: bool = False,
 ) -> Hit:
     """Closest-hit dispatcher: Pallas kernel on TPU, JAX scan elsewhere.
 
     Pass `shared_origin` (3,) when every ray starts there (camera-primary,
     reversed shadow batches): the Pallas path then uses the Woop
     precomputed-transform kernel (~1.5x fewer ops per pair).
+
+    With emit_attrs, the returned Hit carries nx/ny/nz/mat (detached plane
+    normal + material id; see Hit docstring).  The streamed culled kernels
+    emit them in-kernel for free bandwidth (the mat id rides the woop DMA's
+    padding row); other paths fall back to one narrow packed gather.
     """
     n_faces = geometry.faces.shape[0]
     on_tpu = jax.default_backend() not in ("cpu",) and backend != "jax"
@@ -274,7 +301,8 @@ def closest_hit(
             )
         valid = prim >= 0
         zeros = jnp.zeros_like(t)
-        return Hit(t=t, prim=prim, u=zeros, v=zeros, valid=valid)
+        hit = Hit(t=t, prim=prim, u=zeros, v=zeros, valid=valid)
+        return _attrs_fallback(hit, geometry) if emit_attrs else hit
     if on_tpu:
         # Beyond SMEM residency: HBM-streamed double-buffered kernels.
         from fireflies_tpu.render.pallas import (  # noqa: PLC0415
@@ -282,15 +310,17 @@ def closest_hit(
             intersect_pallas_streamed_general,
         )
 
+        fm = geometry.face_mat if emit_attrs else None
+        attrs = ()
         if shared_origin is not None:
             if _TILE_CULL:
                 from fireflies_tpu.render.pallas.intersect_stream import (  # noqa: PLC0415
                     intersect_pallas_streamed_culled,
                 )
 
-                t, prim = intersect_pallas_streamed_culled(
+                t, prim, *attrs = intersect_pallas_streamed_culled(
                     shared_origin, d, geometry.vertices, geometry.faces,
-                    t_min=t_min, t_max=t_max,
+                    t_min=t_min, t_max=t_max, face_mat=fm,
                 )
             else:
                 t, prim = intersect_pallas_streamed(
@@ -302,8 +332,9 @@ def closest_hit(
                 intersect_pallas_streamed_general_culled,
             )
 
-            t, prim = intersect_pallas_streamed_general_culled(
-                o, d, geometry.vertices, geometry.faces, t_min=t_min, t_max=t_max
+            t, prim, *attrs = intersect_pallas_streamed_general_culled(
+                o, d, geometry.vertices, geometry.faces, t_min=t_min,
+                t_max=t_max, face_mat=fm,
             )
         else:
             t, prim = intersect_pallas_streamed_general(
@@ -311,10 +342,18 @@ def closest_hit(
             )
         valid = prim >= 0
         zeros = jnp.zeros_like(t)
-        return Hit(t=t, prim=prim, u=zeros, v=zeros, valid=valid)
+        if attrs:
+            nx, ny, nz, mat = attrs
+            return Hit(
+                t=t, prim=prim, u=zeros, v=zeros, valid=valid,
+                nx=nx, ny=ny, nz=nz, mat=mat,
+            )
+        hit = Hit(t=t, prim=prim, u=zeros, v=zeros, valid=valid)
+        return _attrs_fallback(hit, geometry) if emit_attrs else hit
     if shared_origin is not None:
         o = jnp.broadcast_to(shared_origin, d.shape)
-    return intersect_brute(o, d, geometry, t_min, t_max, tri_chunk)
+    hit = intersect_brute(o, d, geometry, t_min, t_max, tri_chunk)
+    return _attrs_fallback(hit, geometry) if emit_attrs else hit
 
 
 def occluded_any(

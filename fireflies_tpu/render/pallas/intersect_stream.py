@@ -35,13 +35,21 @@ Array = jax.Array
 STREAM_CHUNK = 128  # DMA granularity (lane-tile aligned)
 
 
-def pack_woop_streamed(vertices: Array, faces: Array, origin: Array | None):
+def pack_woop_streamed(
+    vertices: Array, faces: Array, origin: Array | None,
+    face_mat: Array | None = None,
+):
     """(woop16 (16, Tpad), boxes (6, NC)) with Tpad % 128 == 0.
 
     With `origin`, rows 9..11 hold the per-tri constant o' = W(o - v0)
     (shared-origin fast path).  Without, rows 9..11 hold W @ v0 so the kernel
     can form o'_k = W_k . o - (W v0)_k per ray (general path); boxes are then
     NOT origin-shifted.
+
+    Rows 12..15 are (8, 128)-tiling padding; with `face_mat`, row 12 carries
+    the per-face material id as f32 — it rides the SAME DMAs the kernel
+    already issues, so attribute emission (emit_attrs) costs no extra
+    bandwidth.
     """
     zero = jnp.zeros(3, jnp.float32)
     woop, boxes = pack_triangles_woop(
@@ -53,6 +61,10 @@ def pack_woop_streamed(vertices: Array, faces: Array, origin: Array | None):
         woop = woop.at[9:12, :].multiply(-1.0)
     tpad = woop.shape[1]
     woop16 = jnp.zeros((16, tpad), jnp.float32).at[:12, :].set(woop)
+    if face_mat is not None:
+        woop16 = woop16.at[12, : face_mat.shape[0]].set(
+            face_mat.astype(jnp.float32)
+        )
     return woop16, boxes
 
 
@@ -232,13 +244,24 @@ def _kernel_stream(
 
 def _kernel_stream_culled(
     bidx_ref, dirs_ref, tmax_ref, box_ref, list_ref, count_ref, woop_hbm,
-    out_t_ref, out_prim_ref, scratch, sems, *, t_min, any_hit,
+    out_t_ref, out_prim_ref, *rest, t_min, any_hit,
     woop_batched=False, boxes_batched=False, lists_batched=False,
+    emit_attrs=False,
 ):
     """Tile-culled shared-origin streamed kernel: visits only the clusters in
     this tile's precomputed list (intersect_culled.tile_cluster_lists),
     double-buffering their woop data HBM->SMEM by dynamic index.  See
-    intersect_culled.py for the culling pass."""
+    intersect_culled.py for the culling pass.
+
+    emit_attrs additionally outputs the winning triangle's unnormalized
+    plane normal and material id (Hit.nx/ny/nz/mat): the normal IS the
+    Woop row W2 = cross(e1, e2)/det — already loaded per test — and the
+    mat id rides woop row 12 (pack_woop_streamed), so the only extra cost
+    is 4 selects per test plus 4 output tiles."""
+    if emit_attrs:
+        out_nx_ref, out_ny_ref, out_nz_ref, out_mat_ref, scratch, sems = rest
+    else:
+        scratch, sems = rest
     b = bidx_ref[pl.program_id(0)]
 
     def bx(r, c):
@@ -280,9 +303,13 @@ def _kernel_stream_culled(
     best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
     best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+    zeros0 = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    state0 = (best_tn0, best_dn0, best_p0)
+    if emit_attrs:
+        state0 = state0 + (zeros0, zeros0, zeros0 + 1.0, zeros0)
 
     def cluster_body(ci, carry):
-        best_tn, best_dn, best_p = carry
+        best_tn, best_dn = carry[0], carry[1]
         best_t = best_tn / best_dn
         c = listed(ci)
         slot = ci % 2
@@ -311,7 +338,7 @@ def _kernel_stream_culled(
 
         def process(carry):
             def tri_body(j, carry2):
-                btn, bdn, bp = carry2
+                btn, bdn, bp = carry2[0], carry2[1], carry2[2]
                 w00 = scratch[slot, 0, j]
                 w01 = scratch[slot, 1, j]
                 w02 = scratch[slot, 2, j]
@@ -346,7 +373,13 @@ def _kernel_stream_culled(
                 btn = jnp.where(ok, tn, btn)
                 bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
-                return btn, bdn, bp
+                if not emit_attrs:
+                    return btn, bdn, bp
+                bnx = jnp.where(ok, w20, carry2[3])
+                bny = jnp.where(ok, w21, carry2[4])
+                bnz = jnp.where(ok, w22, carry2[5])
+                bm = jnp.where(ok, scratch[slot, 12, j], carry2[6])
+                return btn, bdn, bp, bnx, bny, bnz, bm
 
             def unrolled(jj, carry2):
                 for k in range(4):
@@ -355,9 +388,7 @@ def _kernel_stream_culled(
 
             return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
 
-        return jax.lax.cond(
-            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
-        )
+        return jax.lax.cond(tile_hits, process, lambda x: x, carry)
 
     def while_body(carry):
         ci, state = carry
@@ -372,9 +403,8 @@ def _kernel_stream_culled(
             ci, _state = carry
             return ci < n_listed
 
-    ci_fin, (best_tn, best_dn, best_p) = jax.lax.while_loop(
-        while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
-    )
+    ci_fin, state = jax.lax.while_loop(while_cond, while_body, (0, state0))
+    best_tn, best_dn, best_p = state[0], state[1], state[2]
 
     # Drain: an early exit (any-hit) leaves the prefetch for cluster ci_fin
     # in flight; its semaphore signal would otherwise leak into the next
@@ -385,6 +415,11 @@ def _kernel_stream_culled(
 
     out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
+    if emit_attrs:
+        out_nx_ref[...] = state[3]
+        out_ny_ref[...] = state[4]
+        out_nz_ref[...] = state[5]
+        out_mat_ref[...] = state[6].astype(jnp.int32)
 
 
 def _stream_pallas_call(
@@ -457,7 +492,7 @@ def _stream_pallas_call(
 
 def _stream_culled_pallas_call(
     dirs_soa, tmax_tiles, woop16, boxes, *,
-    t_min, any_hit, interpret, in_batched, axis_size,
+    t_min, any_hit, interpret, in_batched, axis_size, emit_attrs=False,
 ):
     """Tile-culled variant of _stream_pallas_call (shared origin only).
     Builds per-(variant, tile) cluster lists with the XLA culling pass and
@@ -495,6 +530,7 @@ def _stream_culled_pallas_call(
     kernel = functools.partial(
         _kernel_stream_culled, t_min=t_min, any_hit=any_hit,
         woop_batched=b_woop, boxes_batched=b_boxes, lists_batched=lists_batched,
+        emit_attrs=emit_attrs,
     )
     if b_dirs:
         dirs_spec = pl.BlockSpec(
@@ -531,7 +567,14 @@ def _stream_culled_pallas_call(
         )
     boxes_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     bidx = jnp.arange(axis_size, dtype=jnp.int32)  # (B,)
-    out_t, out_prim = pl.pallas_call(
+    n_out = 6 if emit_attrs else 2
+    ray_spec = pl.BlockSpec(
+        (None, SUBLANES, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_dtypes = [jnp.float32, jnp.int32]
+    if emit_attrs:
+        out_dtypes += [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
+    outs = pl.pallas_call(
         kernel,
         grid=(axis_size, n_tiles),
         in_specs=[
@@ -543,15 +586,10 @@ def _stream_culled_pallas_call(
             count_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # woop stays in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[ray_spec] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), dt)
+            for dt in out_dtypes
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 16, STREAM_CHUNK), jnp.float32),
@@ -559,40 +597,46 @@ def _stream_culled_pallas_call(
         ],
         interpret=interpret,
     )(bidx, dirs_soa, tmax_tiles, boxes, lists, counts, woop16)
-    return out_t, out_prim
+    return tuple(outs)
 
 
 @functools.lru_cache(maxsize=None)
-def _stream_culled_fn(t_min: float, any_hit: bool, interpret: bool):
+def _stream_culled_fn(
+    t_min: float, any_hit: bool, interpret: bool, emit_attrs: bool = False
+):
     """custom_vmap wrapper for the culled streamed kernel (cf. _stream_fn)."""
 
     @jax.custom_batching.custom_vmap
     def f(dirs_soa, tmax_tiles, woop16, boxes):
-        out_t, out_prim = _stream_culled_pallas_call(
+        outs = _stream_culled_pallas_call(
             dirs_soa, tmax_tiles, woop16, boxes,
             t_min=t_min, any_hit=any_hit, interpret=interpret,
             in_batched=(False, False, False, False), axis_size=1,
+            emit_attrs=emit_attrs,
         )
-        return out_t[0], out_prim[0]
+        return tuple(o[0] for o in outs)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, dirs_soa, tmax_tiles, woop16, boxes):
-        out_t, out_prim = _stream_culled_pallas_call(
+        outs = _stream_culled_pallas_call(
             dirs_soa, tmax_tiles, woop16, boxes,
             t_min=t_min, any_hit=any_hit, interpret=interpret,
             in_batched=tuple(in_batched), axis_size=axis_size,
+            emit_attrs=emit_attrs,
         )
-        return (out_t, out_prim), (True, True)
+        return tuple(outs), (True,) * len(outs)
 
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "any_hit", "interpret", "emit_attrs")
+)
 def _intersect_stream_culled_packed(
     dirs_soa: Array, tmax_tiles: Array, woop16: Array, boxes: Array,
-    t_min: float, any_hit: bool, interpret: bool,
+    t_min: float, any_hit: bool, interpret: bool, emit_attrs: bool = False,
 ):
-    return _stream_culled_fn(t_min, any_hit, interpret)(
+    return _stream_culled_fn(t_min, any_hit, interpret, emit_attrs)(
         dirs_soa, tmax_tiles, woop16, boxes
     )
 
@@ -606,12 +650,17 @@ def intersect_pallas_streamed_culled(
     t_max: Array | float = 1e30,
     any_hit: bool = False,
     interpret: bool = False,
+    face_mat: Array | None = None,
 ):
     """Tile-culled shared-origin closest/any-hit for large scenes:
-    per-tile cluster lists + on-demand double-buffered HBM streaming."""
-    woop16, boxes = pack_woop_streamed(vertices, faces, origin)
+    per-tile cluster lists + on-demand double-buffered HBM streaming.
+
+    With `face_mat`, returns (t, prim, nx, ny, nz, mat): kernel-emitted
+    plane normals + material ids (see Hit docstring)."""
+    emit_attrs = face_mat is not None
+    woop16, boxes = pack_woop_streamed(vertices, faces, origin, face_mat)
     dirs_soa, tmax_tiles, n = pack_dirs(d, t_max)
-    out_t, out_prim = _intersect_stream_culled_packed(
+    outs = _intersect_stream_culled_packed(
         jax.lax.stop_gradient(dirs_soa),
         jax.lax.stop_gradient(tmax_tiles),
         jax.lax.stop_gradient(woop16),
@@ -619,8 +668,9 @@ def intersect_pallas_streamed_culled(
         t_min,
         any_hit,
         interpret,
+        emit_attrs,
     )
-    return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]
+    return tuple(o.reshape(-1)[:n] for o in outs)
 
 
 @functools.lru_cache(maxsize=None)
@@ -717,8 +767,9 @@ def intersect_pallas_streamed_general(
 
 def _kernel_stream_general_culled(
     bidx_ref, rays_ref, tmax_ref, box_ref, list_ref, count_ref, woop_hbm,
-    out_t_ref, out_prim_ref, scratch, sems, *, t_min, any_hit,
+    out_t_ref, out_prim_ref, *rest, t_min, any_hit,
     woop_batched=False, boxes_batched=False, lists_batched=False,
+    emit_attrs=False,
 ):
     """Tile-culled GENERAL-ray streamed kernel: per-ray origins (bounce
     passes on big scenes), per-tile front-to-back cluster lists from
@@ -730,7 +781,15 @@ def _kernel_stream_general_culled(
     conservative culling lists most FORWARD clusters anyway, but the
     origin-distance ordering + best-t clip prune far ones, and all-dead
     tiles (retired paths) run zero DMAs.
+
+    emit_attrs: see _kernel_stream_culled — plane normal (= Woop W2 row,
+    already loaded) + material id (woop row 12) carried by 4 extra selects
+    per test.
     """
+    if emit_attrs:
+        out_nx_ref, out_ny_ref, out_nz_ref, out_mat_ref, scratch, sems = rest
+    else:
+        scratch, sems = rest
     b = bidx_ref[pl.program_id(0)]
 
     def bx(r, c):
@@ -772,9 +831,13 @@ def _kernel_stream_general_culled(
     best_tn0 = jnp.full((SUBLANES, LANES), _BIG, jnp.float32)
     best_dn0 = jnp.ones((SUBLANES, LANES), jnp.float32)
     best_p0 = jnp.full((SUBLANES, LANES), -1, jnp.int32)
+    zeros0 = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    state0 = (best_tn0, best_dn0, best_p0)
+    if emit_attrs:
+        state0 = state0 + (zeros0, zeros0, zeros0 + 1.0, zeros0)
 
     def cluster_body(ci, carry):
-        best_tn, best_dn, best_p = carry
+        best_tn, best_dn = carry[0], carry[1]
         best_t = best_tn / best_dn
         c = listed(ci)
         slot = ci % 2
@@ -803,7 +866,7 @@ def _kernel_stream_general_culled(
 
         def process(carry):
             def tri_body(j, carry2):
-                btn, bdn, bp = carry2
+                btn, bdn, bp = carry2[0], carry2[1], carry2[2]
                 w00 = scratch[slot, 0, j]
                 w01 = scratch[slot, 1, j]
                 w02 = scratch[slot, 2, j]
@@ -839,7 +902,13 @@ def _kernel_stream_general_culled(
                 btn = jnp.where(ok, tn, btn)
                 bdn = jnp.where(ok, dn, bdn)
                 bp = jnp.where(ok, c * STREAM_CHUNK + j, bp)
-                return btn, bdn, bp
+                if not emit_attrs:
+                    return btn, bdn, bp
+                bnx = jnp.where(ok, w20, carry2[3])
+                bny = jnp.where(ok, w21, carry2[4])
+                bnz = jnp.where(ok, w22, carry2[5])
+                bm = jnp.where(ok, scratch[slot, 12, j], carry2[6])
+                return btn, bdn, bp, bnx, bny, bnz, bm
 
             def unrolled(jj, carry2):
                 for k in range(4):
@@ -848,9 +917,7 @@ def _kernel_stream_general_culled(
 
             return jax.lax.fori_loop(0, STREAM_CHUNK // 4, unrolled, carry)
 
-        return jax.lax.cond(
-            tile_hits, process, lambda x: x, (best_tn, best_dn, best_p)
-        )
+        return jax.lax.cond(tile_hits, process, lambda x: x, carry)
 
     def while_body(carry):
         ci, state = carry
@@ -865,9 +932,8 @@ def _kernel_stream_general_culled(
             ci, _state = carry
             return ci < n_listed
 
-    ci_fin, (best_tn, best_dn, best_p) = jax.lax.while_loop(
-        while_cond, while_body, (0, (best_tn0, best_dn0, best_p0))
-    )
+    ci_fin, state = jax.lax.while_loop(while_cond, while_body, (0, state0))
+    best_tn, best_dn, best_p = state[0], state[1], state[2]
 
     @pl.when(ci_fin < n_listed)
     def _():
@@ -875,11 +941,16 @@ def _kernel_stream_general_culled(
 
     out_t_ref[...] = jnp.where(best_p >= 0, best_tn / best_dn, 0.0)
     out_prim_ref[...] = best_p
+    if emit_attrs:
+        out_nx_ref[...] = state[3]
+        out_ny_ref[...] = state[4]
+        out_nz_ref[...] = state[5]
+        out_mat_ref[...] = state[6].astype(jnp.int32)
 
 
 def _stream_general_culled_pallas_call(
     rays_soa, tmax_tiles, woop16, boxes, *,
-    t_min, any_hit, interpret, in_batched, axis_size,
+    t_min, any_hit, interpret, in_batched, axis_size, emit_attrs=False,
 ):
     """General-ray tile-culled variant of _stream_culled_pallas_call."""
     from fireflies_tpu.render.pallas.intersect_culled import (  # noqa: PLC0415
@@ -912,6 +983,7 @@ def _stream_general_culled_pallas_call(
     kernel = functools.partial(
         _kernel_stream_general_culled, t_min=t_min, any_hit=any_hit,
         woop_batched=b_woop, boxes_batched=b_boxes, lists_batched=lists_batched,
+        emit_attrs=emit_attrs,
     )
     if b_rays:
         rays_spec = pl.BlockSpec(
@@ -948,7 +1020,14 @@ def _stream_general_culled_pallas_call(
         )
     boxes_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     bidx = jnp.arange(axis_size, dtype=jnp.int32)  # (B,)
-    out_t, out_prim = pl.pallas_call(
+    n_out = 6 if emit_attrs else 2
+    ray_spec = pl.BlockSpec(
+        (None, SUBLANES, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    out_dtypes = [jnp.float32, jnp.int32]
+    if emit_attrs:
+        out_dtypes += [jnp.float32, jnp.float32, jnp.float32, jnp.int32]
+    outs = pl.pallas_call(
         kernel,
         grid=(axis_size, n_tiles),
         in_specs=[
@@ -960,15 +1039,10 @@ def _stream_general_culled_pallas_call(
             count_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # woop stays in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, SUBLANES, LANES), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[ray_spec] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((axis_size, n_rows, LANES), dt)
+            for dt in out_dtypes
         ],
         scratch_shapes=[
             pltpu.SMEM((2, 16, STREAM_CHUNK), jnp.float32),
@@ -976,40 +1050,46 @@ def _stream_general_culled_pallas_call(
         ],
         interpret=interpret,
     )(bidx, rays_soa, tmax_tiles, boxes, lists, counts, woop16)
-    return out_t, out_prim
+    return tuple(outs)
 
 
 @functools.lru_cache(maxsize=None)
-def _stream_general_culled_fn(t_min: float, any_hit: bool, interpret: bool):
+def _stream_general_culled_fn(
+    t_min: float, any_hit: bool, interpret: bool, emit_attrs: bool = False
+):
     """custom_vmap wrapper (cf. _stream_culled_fn), general rays."""
 
     @jax.custom_batching.custom_vmap
     def f(rays_soa, tmax_tiles, woop16, boxes):
-        out_t, out_prim = _stream_general_culled_pallas_call(
+        outs = _stream_general_culled_pallas_call(
             rays_soa, tmax_tiles, woop16, boxes,
             t_min=t_min, any_hit=any_hit, interpret=interpret,
             in_batched=(False, False, False, False), axis_size=1,
+            emit_attrs=emit_attrs,
         )
-        return out_t[0], out_prim[0]
+        return tuple(o[0] for o in outs)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, rays_soa, tmax_tiles, woop16, boxes):
-        out_t, out_prim = _stream_general_culled_pallas_call(
+        outs = _stream_general_culled_pallas_call(
             rays_soa, tmax_tiles, woop16, boxes,
             t_min=t_min, any_hit=any_hit, interpret=interpret,
             in_batched=tuple(in_batched), axis_size=axis_size,
+            emit_attrs=emit_attrs,
         )
-        return (out_t, out_prim), (True, True)
+        return tuple(outs), (True,) * len(outs)
 
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("t_min", "any_hit", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "any_hit", "interpret", "emit_attrs")
+)
 def _intersect_stream_general_culled_packed(
     rays_soa: Array, tmax_tiles: Array, woop16: Array, boxes: Array,
-    t_min: float, any_hit: bool, interpret: bool,
+    t_min: float, any_hit: bool, interpret: bool, emit_attrs: bool = False,
 ):
-    return _stream_general_culled_fn(t_min, any_hit, interpret)(
+    return _stream_general_culled_fn(t_min, any_hit, interpret, emit_attrs)(
         rays_soa, tmax_tiles, woop16, boxes
     )
 
@@ -1023,14 +1103,19 @@ def intersect_pallas_streamed_general_culled(
     t_max: Array | float = 1e30,
     any_hit: bool = False,
     interpret: bool = False,
+    face_mat: Array | None = None,
 ):
     """Tile-culled per-ray-origin streamed closest/any-hit for large scenes
-    (the bounce pass at 10k+ faces)."""
+    (the bounce pass at 10k+ faces).
+
+    With `face_mat`, returns (t, prim, nx, ny, nz, mat): kernel-emitted
+    plane normals + material ids (see Hit docstring)."""
     from fireflies_tpu.render.pallas.intersect_kernel import pack_rays  # noqa: PLC0415
 
-    woop16, boxes = pack_woop_streamed(vertices, faces, None)
+    emit_attrs = face_mat is not None
+    woop16, boxes = pack_woop_streamed(vertices, faces, None, face_mat)
     rays_soa, tmax_tiles, n = pack_rays(o, d, t_max)
-    out_t, out_prim = _intersect_stream_general_culled_packed(
+    outs = _intersect_stream_general_culled_packed(
         jax.lax.stop_gradient(rays_soa),
         jax.lax.stop_gradient(tmax_tiles),
         jax.lax.stop_gradient(woop16),
@@ -1038,5 +1123,6 @@ def intersect_pallas_streamed_general_culled(
         t_min,
         any_hit,
         interpret,
+        emit_attrs,
     )
-    return out_t.reshape(-1)[:n], out_prim.reshape(-1)[:n]
+    return tuple(o.reshape(-1)[:n] for o in outs)

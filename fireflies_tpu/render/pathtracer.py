@@ -202,6 +202,24 @@ def trace_rays(
     has_uvs = scene.geometry.uvs is not None
     has_normals = scene.geometry.normals is not None
     tex_packs = _pack_textures(scene)
+    # Static-geometry fast path (config.static_geometry): take position /
+    # geometric normal / material id straight from the intersection kernels
+    # (Hit.nx/ny/nz/mat) and skip the per-row-bound face-table gather at
+    # every path vertex.  Only valid when the trace needs no interpolated
+    # per-vertex quantities: flat shading (no smooth normals), no surface
+    # textures (base/roughness/normal maps sample UVs), and no anisotropy
+    # (tangents come from the UV columns).  The lobes flag set is the
+    # trace-time truth for anisotropy (bridge narrows it per scene).
+    _flags = scene.materials.flags
+    _aniso_on = _flags is None or "aniso" in _flags  # None = conservative all-on
+    kernel_attrs = (
+        config.static_geometry
+        and not has_normals
+        and not any(k in tex_packs for k in ("base", "rough", "normal"))
+        # Without UVs the gather path emits no tangent either, so the fast
+        # path is equivalent regardless of the anisotropy flag.
+        and (not has_uvs or not _aniso_on)
+    )
     # Envmap NEE distribution (one cumsum per render): importance-sample
     # the envmap as an emitter with MIS against BSDF sampling — without it
     # an envmap is escape-only and small bright regions explode variance
@@ -232,6 +250,7 @@ def trace_rays(
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
                 shared_origin=primary_origin,
+                emit_attrs=kernel_attrs,
             )
         elif _os.environ.get("FF_SORT_INDIRECT", "0") != "0":
             # OFF by default: the permutation/unpermutation gathers cost more
@@ -260,6 +279,7 @@ def trace_rays(
                 t_max=tmax_b[perm] if jnp.ndim(tmax_b) else tmax_b,
                 tri_chunk=config.tri_chunk,
                 backend=config.backend,
+                emit_attrs=kernel_attrs,
             )
             hit = jax.tree.map(lambda x: x[inv], hit_s)
         elif _os.environ.get("FF_B1_FAKE_HIT"):  # perf-bisection knob
@@ -281,11 +301,16 @@ def trace_rays(
                 u=zeros,
                 v=zeros,
                 valid=active,
+                nx=zeros if kernel_attrs else None,
+                ny=zeros if kernel_attrs else None,
+                nz=(zeros + 1.0) if kernel_attrs else None,
+                mat=jnp.zeros_like(fake_prim) if kernel_attrs else None,
             )
         else:
             hit = closest_hit(
                 o, d, scene.geometry, t_max=tmax_b,
                 tri_chunk=config.tri_chunk, backend=config.backend,
+                emit_attrs=kernel_attrs,
             )
         hit = jax.tree.map(jax.lax.stop_gradient, hit)
 
@@ -333,6 +358,17 @@ def trace_rays(
             if has_uvs:
                 attrs["uv_x"] = pos.x - jnp.floor(pos.x)
                 attrs["uv_y"] = pos.y - jnp.floor(pos.y)
+        elif kernel_attrs:
+            # Static-geometry fast path: attributes straight from the
+            # traversal (see gate above).  position = o + t d needs no face
+            # data at all; the normal is the kernel-carried plane normal
+            # (W2 = cross(e1, e2)/det — same orientation as the gather
+            # path's e1 x e2, so values match exactly after normalization).
+            attrs = {
+                "position": o_v + d_v * hit.t,
+                "normal": v3m.Vec3(hit.nx, hit.ny, hit.nz).normalized(),
+                "mat_id": hit.mat,
+            }
         elif _os.environ.get("FF_ATTRS_GATHER_ONLY"):  # perf-bisection knob
             # The packed gather RUNS but the barycentric re-derivation math
             # is replaced by raw row reads: full - this = attr MATH cost;

@@ -312,13 +312,26 @@ class RenderScene(struct.PyTreeNode):
 
 
 class Hit(struct.PyTreeNode):
-    """Intersection result (non-differentiable traversal output)."""
+    """Intersection result (non-differentiable traversal output).
+
+    nx/ny/nz/mat are OPTIONAL kernel-emitted shading attributes (see
+    RenderConfig.static_geometry): the winning triangle's unnormalized
+    plane normal — the Woop transform's third row, already live in the
+    intersection inner loop — and its material id, carried through the
+    best-hit selects.  They replace the per-row-bound packed face-table
+    gather (~per-row cost regardless of width; two 16M-row gathers per
+    step at the reference workload) when geometry gradients aren't
+    needed.  None unless the traversal was asked for them."""
 
     t: Array  # (N,)
     prim: Array  # (N,) int32, -1 on miss
     u: Array  # (N,) barycentric
     v: Array  # (N,)
     valid: Array  # (N,) bool
+    nx: Optional[Array] = None  # (N,) unnormalized plane normal (detached)
+    ny: Optional[Array] = None
+    nz: Optional[Array] = None
+    mat: Optional[Array] = None  # (N,) int32 material id
 
 
 class RenderConfig(struct.PyTreeNode):
@@ -373,3 +386,16 @@ class RenderConfig(struct.PyTreeNode):
     # CORRELATION changes (tile-blocky instead of white at low spp).
     # Requires tile-major ray order (the render_rgb path).
     coherent_bounce: bool = struct.field(pytree_node=False, default=False)
+    # Static-geometry fast path: hit attributes (position, geometric
+    # normal, material id) come straight from the intersection kernels
+    # instead of the differentiable face-table re-derivation, skipping the
+    # per-row-bound packed gather at every path vertex (the largest
+    # non-kernel cost at the reference workload shape).  Gradients w.r.t.
+    # VERTICES are zero in this mode — matching Dr.Jit semantics when only
+    # emitter/material params are attached (the reference's pattern
+    # optimization attaches the laser texture only,
+    # /root/reference/optimize_laser.py); leave False for pose/shape
+    # optimization.  Automatically falls back to the gather path when the
+    # scene needs interpolated quantities the kernels don't carry
+    # (smooth vertex normals, surface textures, anisotropic tangents).
+    static_geometry: bool = struct.field(pytree_node=False, default=False)

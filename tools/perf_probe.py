@@ -268,6 +268,7 @@ def probe_step(size=512, batch=16, n_iter=8):
         width=size, height=size,
         spp=int(os.environ.get("FF_PROBE_SPP", 1)), max_bounces=2,
         coherent_bounce=bool(int(os.environ.get("FF_PROBE_COHERENT", 0))),
+        static_geometry=bool(int(os.environ.get("FF_PROBE_STATIC_GEOM", 0))),
     )
 
     variants = [
