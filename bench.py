@@ -209,6 +209,7 @@ def measure(
             f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces}"
             + (", smooth" if smooth else "")
             + (", coherent-bounce" if cfg.coherent_bounce else "")
+            + ("" if cfg.static_geometry else ", diff-attrs")
             + (", analytic-projector" if analytic_proj else "") + ")"
         ),
         "value": round(renders_per_sec, 3),
@@ -218,6 +219,11 @@ def measure(
             "faces": n_faces, "spp": spp, "bounces": bounces, "batch": batch,
             "repeats": repeats, "size": size,
             "route": "analytic-beam-splat" if analytic_proj else "texture",
+            # Kernel-emitted hit attributes (RenderConfig.static_geometry):
+            # the default for this beams-gradient workload since r4;
+            # "diff-attrs" entries measure the fully differentiable-attrs
+            # path for comparison.
+            "static_geometry": cfg.static_geometry,
             "optim_iters_per_sec": round(repeats / dt, 3),
             "renders_per_sec_dispersion": dispersion,
         },
@@ -573,6 +579,10 @@ VARIANTS = [
     # general cull prune (unbiased, correlated noise); measured 2.04x at
     # this shape (3.62 -> 7.37).
     dict(resolution=75, spp=4, repeats=5, coherent=1),
+    # Static-geometry attr fast path OFF (fully differentiable attrs) at
+    # the reference-realistic target shape: records what the kernel-emitted
+    # attributes buy (probe: 1546 -> 1333 ms/step same-window).
+    dict(resolution=75, spp=4, repeats=5, coherent=1, static_geom=0),
     dict(analytic=0, resolution=75, repeats=10),    # ~11.6k faces, texture
     dict(analytic=0, resolution=75, spp=4, repeats=5),
     dict(resolution=160, repeats=5),        # ~51k faces, analytic
@@ -600,6 +610,7 @@ _ENV_OF = {
     "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
     "analytic": "BENCH_ANALYTIC_PROJ", "grad_mode": "BENCH_GRAD_MODE",
     "datagen": "BENCH_DATAGEN", "coherent": "BENCH_COHERENT",
+    "static_geom": "BENCH_STATIC_GEOM",
 }
 
 
