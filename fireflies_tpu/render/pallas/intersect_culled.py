@@ -56,6 +56,25 @@ Array = jax.Array
 _INF = 3.0e38
 
 
+def _cull_subtiles() -> tuple[int, int]:
+    """Sub-tile split (sublane_groups, lane_groups) for list building.
+
+    One interval box per 2048-ray tile is loose: it admits phantom
+    (origin-from-ray-A, direction-from-ray-B) combinations, which for
+    coherent bounce tiles (direction correlated with position) lists far
+    more clusters than any actual ray can hit.  Splitting the tile into
+    sub-groups, testing each sub-box independently, and OR-ing the results
+    is still conservative (every ray lies in exactly one sub-group) but
+    strictly tighter.  "SxL" splits the 16 sublanes into S groups (pixel-row
+    strips) and the 128 lanes into L groups (pixel-column bands); with the
+    128x16 pixel tiles a 2x2 split tests four 64x8-pixel quadrants.
+    """
+    spec = _os.environ.get("FF_CULL_SUBTILES", "2x2")
+    ss, ls = (int(v) for v in spec.split("x"))
+    assert SUBLANES % ss == 0 and LANES % ls == 0, spec
+    return ss, ls
+
+
 def tile_cluster_lists(
     dirs_soa: Array, boxes: Array, t_min: float = 0.0,
     tmax_tiles: Array | None = None,
