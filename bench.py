@@ -209,7 +209,11 @@ def measure(
             f"(vocalfold {n_faces} faces, spp={spp}, bounces={bounces}"
             + (", smooth" if smooth else "")
             + (", coherent-bounce" if cfg.coherent_bounce else "")
-            + ("" if cfg.static_geometry else ", diff-attrs")
+            # Name the attr mode EXPLICITLY both ways: static-geometry has
+            # zero vertex gradients (Dr.Jit-equivalent: the reference
+            # attaches only the laser texture), so cross-round comparisons
+            # must not read static vs diff-attrs as a like-for-like delta.
+            + (", static-geometry" if cfg.static_geometry else ", diff-attrs")
             + (", analytic-projector" if analytic_proj else "") + ")"
         ),
         "value": round(renders_per_sec, 3),

@@ -68,11 +68,70 @@ def _cull_subtiles() -> tuple[int, int]:
     strictly tighter.  "SxL" splits the 16 sublanes into S groups (pixel-row
     strips) and the 128 lanes into L groups (pixel-column bands); with the
     128x16 pixel tiles a 2x2 split tests four 64x8-pixel quadrants.
+    "1x1" reverts to the single whole-tile box.
     """
     spec = _os.environ.get("FF_CULL_SUBTILES", "2x2")
-    ss, ls = (int(v) for v in spec.split("x"))
-    assert SUBLANES % ss == 0 and LANES % ls == 0, spec
+    parts = spec.split("x")
+    try:
+        ss, ls = (int(v) for v in parts)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"FF_CULL_SUBTILES must be 'SxL' with integer S, L; got {spec!r}"
+        ) from None
+    if ss < 1 or ls < 1 or SUBLANES % ss or LANES % ls:
+        raise ValueError(
+            f"FF_CULL_SUBTILES={spec!r}: S must divide {SUBLANES} and "
+            f"L must divide {LANES}"
+        )
     return ss, ls
+
+
+def _subgroup_minmax(x_tiles: Array, alive: Array | None, ss: int, ls: int):
+    """Per-subgroup min/max over a (C, T, SUBLANES, LANES) tile tensor.
+
+    Returns (lo, hi) of shape (C, T, G) with G = ss*ls, plus the per-group
+    alive mask (T, G) (None when `alive` is None).  Dead rays (alive False)
+    are excluded; a group with no alive rays gets lo=+INF / hi=-INF and
+    alive False.
+    """
+    c, t = x_tiles.shape[0], x_tiles.shape[1]
+    g = x_tiles.reshape(c, t, ss, SUBLANES // ss, ls, LANES // ls)
+    if alive is not None:
+        a = alive.reshape(1, t, ss, SUBLANES // ss, ls, LANES // ls)
+        lo = jnp.min(jnp.where(a, g, _INF), axis=(3, 5))
+        hi = jnp.max(jnp.where(a, g, -_INF), axis=(3, 5))
+        galive = jnp.any(a, axis=(0, 3, 5)).reshape(t, ss * ls)
+    else:
+        lo = jnp.min(g, axis=(3, 5))
+        hi = jnp.max(g, axis=(3, 5))
+        galive = None
+    return lo.reshape(c, t, ss * ls), hi.reshape(c, t, ss * ls), galive
+
+
+def _safe_div(a, b):
+    return a / jnp.where(jnp.abs(b) < 1e-30, jnp.where(b < 0, -1e-30, 1e-30), b)
+
+
+def _interval_slab_hit(dl, dh, bl, bh, t_min: float) -> Array:
+    """Conservative interval slab test, broadcast over trailing dims.
+
+    dl/dh: (3, T, G, 1) direction interval; bl/bh: (3, T-or-1, G-or-1, NC)
+    target box (origin-shifted).  Returns hit (T, G, NC): does ANY t > t_min
+    with d in [dl, dh] satisfy t*d in [bl, bh] on all three axes?
+    """
+    lo = jnp.full(jnp.broadcast_shapes(dl.shape, bl.shape), t_min)
+    hi = jnp.full(lo.shape, _INF)
+    # c1: t*dl <= bh
+    lo = jnp.where(dl < 0, jnp.maximum(lo, _safe_div(bh, dl)), lo)
+    hi = jnp.where(dl > 0, jnp.minimum(hi, _safe_div(bh, dl)), hi)
+    empty = (dl == 0) & (bh < 0)
+    # c2: t*dh >= bl
+    lo = jnp.where(dh > 0, jnp.maximum(lo, _safe_div(bl, dh)), lo)
+    hi = jnp.where(dh < 0, jnp.minimum(hi, _safe_div(bl, dh)), hi)
+    empty = empty | ((dh == 0) & (bl > 0))
+    return (jnp.max(lo, axis=0) <= jnp.min(hi, axis=0)) & ~jnp.any(
+        empty, axis=0
+    )
 
 
 def tile_cluster_lists(
@@ -94,49 +153,35 @@ def tile_cluster_lists(
     means the ray is masked off / padding), dead rays are excluded from the
     tile's direction box and all-dead tiles get count 0 — NEE gating then
     empties every tile outside a projector's cone before the kernel runs.
+
+    The tile is split into FF_CULL_SUBTILES (default 2x2) sub-groups, each
+    tested with its own direction box; the results OR together (see
+    _cull_subtiles — strictly tighter than one whole-tile box, still
+    conservative).
     """
     n_rows = dirs_soa.shape[1]
     t = n_rows // SUBLANES
+    ss, ls = _cull_subtiles()
     d_tiles = dirs_soa.reshape(3, t, SUBLANES, LANES)
-    if tmax_tiles is not None:
-        alive = (tmax_tiles >= 0.0).reshape(1, t, SUBLANES, LANES)
-        dl = jnp.min(jnp.where(alive, d_tiles, _INF), axis=(2, 3))  # (3, T)
-        dh = jnp.max(jnp.where(alive, d_tiles, -_INF), axis=(2, 3))
-        any_alive = jnp.any(alive, axis=(0, 2, 3))  # (T,)
-    else:
-        dl = jnp.min(d_tiles, axis=(2, 3))  # (3, T)
-        dh = jnp.max(d_tiles, axis=(2, 3))
-        any_alive = None
+    alive = (
+        (tmax_tiles >= 0.0).reshape(1, t, SUBLANES, LANES)
+        if tmax_tiles is not None else None
+    )
+    dl, dh, galive = _subgroup_minmax(d_tiles, alive, ss, ls)  # (3, T, G)
 
-    # Interval slab test per (tile, cluster, axis), all conservative.
+    # Interval slab test per (tile, group, cluster, axis), all conservative.
     # U_a = {t > 0 : t*dl <= bh  AND  t*dh >= bl}   (see module docstring)
-    dl_ = dl[:, :, None]  # (3, T, 1)
-    dh_ = dh[:, :, None]
-    bl = boxes[0:3, None, :]  # (3, 1, NC)
-    bh = boxes[3:6, None, :]
-
-    def safe_div(a, b):
-        return a / jnp.where(jnp.abs(b) < 1e-30, jnp.where(b < 0, -1e-30, 1e-30), b)
-
-    lo = jnp.full_like(dl_ + bl, t_min)
-    hi = jnp.full_like(dl_ + bl, _INF)
-    # c1: t*dl <= bh
-    lo = jnp.where(dl_ < 0, jnp.maximum(lo, safe_div(bh, dl_)), lo)
-    hi = jnp.where(dl_ > 0, jnp.minimum(hi, safe_div(bh, dl_)), hi)
-    empty = (dl_ == 0) & (bh < 0)
-    # c2: t*dh >= bl
-    lo = jnp.where(dh_ > 0, jnp.maximum(lo, safe_div(bl, dh_)), lo)
-    hi = jnp.where(dh_ < 0, jnp.minimum(hi, safe_div(bl, dh_)), hi)
-    empty = empty | ((dh_ == 0) & (bl > 0))
-
-    lo_all = jnp.max(lo, axis=0)  # (T, NC)
-    hi_all = jnp.min(hi, axis=0)
-    hit = (lo_all <= hi_all) & ~jnp.any(empty, axis=0)
+    bl = boxes[0:3, None, None, :]  # (3, 1, 1, NC)
+    bh = boxes[3:6, None, None, :]
+    hit_g = _interval_slab_hit(
+        dl[..., None], dh[..., None], bl, bh, t_min
+    )  # (T, G, NC)
+    if galive is not None:
+        hit_g &= galive[..., None]
+    hit = jnp.any(hit_g, axis=1)  # (T, NC)
 
     center = 0.5 * (boxes[0:3] + boxes[3:6])  # (3, NC), origin-relative
     dist2 = jnp.sum(center * center, axis=0)  # (NC,)
-    if any_alive is not None:
-        hit &= any_alive[:, None]
     sort_key = jnp.where(hit, dist2[None, :], _INF)
     lists = jnp.argsort(sort_key, axis=1).astype(jnp.int32)  # (T, NC)
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]  # (T, 1)
@@ -162,53 +207,47 @@ def tile_cluster_lists_general(
     AND direction boxes (a retired bounce ray still carries its stale
     camera-origin ray, which would blow the origin box wide open), and
     all-dead tiles get count 0.
+
+    Sub-tile split: each tile is tested as FF_CULL_SUBTILES (default 2x2)
+    sub-groups with independent origin AND direction boxes, OR-ed — for
+    coherent bounce tiles (direction correlated with position within the
+    tile) this prunes the phantom origin-A/direction-B combinations a
+    whole-tile box admits.
     """
     n_rows = rays_soa.shape[1]
     t = n_rows // SUBLANES
+    ss, ls = _cull_subtiles()
     r_tiles = rays_soa.reshape(6, t, SUBLANES, LANES)
-    if tmax_tiles is not None:
-        alive = (tmax_tiles >= 0.0).reshape(1, t, SUBLANES, LANES)
-        masked_lo = jnp.where(alive, r_tiles, _INF)
-        masked_hi = jnp.where(alive, r_tiles, -_INF)
-        ol = jnp.min(masked_lo[:3], axis=(2, 3))  # (3, T)
-        oh = jnp.max(masked_hi[:3], axis=(2, 3))
-        dl = jnp.min(masked_lo[3:], axis=(2, 3))
-        dh = jnp.max(masked_hi[3:], axis=(2, 3))
-        any_alive = jnp.any(alive, axis=(0, 2, 3))  # (T,)
-    else:
-        ol = jnp.min(r_tiles[:3], axis=(2, 3))  # (3, T)
-        oh = jnp.max(r_tiles[:3], axis=(2, 3))
-        dl = jnp.min(r_tiles[3:], axis=(2, 3))
-        dh = jnp.max(r_tiles[3:], axis=(2, 3))
-        any_alive = None
+    alive = (
+        (tmax_tiles >= 0.0).reshape(1, t, SUBLANES, LANES)
+        if tmax_tiles is not None else None
+    )
+    rlo, rhi, galive = _subgroup_minmax(r_tiles, alive, ss, ls)  # (6, T, G)
+    ol, dl = rlo[:3], rlo[3:]
+    oh, dh = rhi[:3], rhi[3:]
 
-    dl_ = dl[:, :, None]
-    dh_ = dh[:, :, None]
-    bl = boxes[0:3, None, :] - oh[:, :, None]  # (3, T, NC) widened target
-    bh = boxes[3:6, None, :] - ol[:, :, None]
-
-    def safe_div(a, b):
-        return a / jnp.where(jnp.abs(b) < 1e-30, jnp.where(b < 0, -1e-30, 1e-30), b)
-
-    lo = jnp.full_like(bl, t_min)
-    hi = jnp.full_like(bl, _INF)
-    lo = jnp.where(dl_ < 0, jnp.maximum(lo, safe_div(bh, dl_)), lo)
-    hi = jnp.where(dl_ > 0, jnp.minimum(hi, safe_div(bh, dl_)), hi)
-    empty = (dl_ == 0) & (bh < 0)
-    lo = jnp.where(dh_ > 0, jnp.maximum(lo, safe_div(bl, dh_)), lo)
-    hi = jnp.where(dh_ < 0, jnp.minimum(hi, safe_div(bl, dh_)), hi)
-    empty = empty | ((dh_ == 0) & (bl > 0))
-
-    lo_all = jnp.max(lo, axis=0)
-    hi_all = jnp.min(hi, axis=0)
-    hit = (lo_all <= hi_all) & ~jnp.any(empty, axis=0)
+    bl = boxes[0:3, None, None, :] - oh[..., None]  # (3, T, G, NC) widened
+    bh = boxes[3:6, None, None, :] - ol[..., None]
+    hit_g = _interval_slab_hit(
+        dl[..., None], dh[..., None], bl, bh, t_min
+    )  # (T, G, NC)
+    if galive is not None:
+        hit_g &= galive[..., None]
+    hit = jnp.any(hit_g, axis=1)  # (T, NC)
 
     center = 0.5 * (boxes[0:3] + boxes[3:6])  # (3, NC) world space
-    oc = 0.5 * (ol + oh)  # (3, T) tile origin centers
+    # Tile origin center for the front-to-back sort: collapse the group
+    # boxes (empty groups carry +/-INF; masked min/max over groups).
+    if galive is not None:
+        g_ok = galive[None]  # (1, T, G)
+        ol_t = jnp.min(jnp.where(g_ok, ol, _INF), axis=2)  # (3, T)
+        oh_t = jnp.max(jnp.where(g_ok, oh, -_INF), axis=2)
+    else:
+        ol_t = jnp.min(ol, axis=2)
+        oh_t = jnp.max(oh, axis=2)
+    oc = 0.5 * (ol_t + oh_t)  # (3, T)
     diff = center[:, None, :] - oc[:, :, None]  # (3, T, NC)
     dist2 = jnp.sum(diff * diff, axis=0)  # (T, NC)
-    if any_alive is not None:
-        hit &= any_alive[:, None]
     sort_key = jnp.where(hit, dist2, _INF)
     lists = jnp.argsort(sort_key, axis=1).astype(jnp.int32)
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]  # (T, 1)

@@ -406,3 +406,115 @@ def test_streamed_general_culled_matches_jax():
         )
         ref_i = intersect.intersect_brute(o_b[i], d_b[i], geo_i)
         np.testing.assert_array_equal(np.asarray(prim_b[i]), np.asarray(ref_i.prim))
+
+
+def test_subtile_culling_tightens_lists(monkeypatch):
+    """Sub-tile split lists are subsets of the whole-tile lists (strictly
+    tighter on a coherent direction-correlated-with-position load) and the
+    kernels stay exact vs brute force at every split."""
+    from fireflies_tpu.render.pallas import intersect_culled as ic
+    from fireflies_tpu.render.pallas.intersect_kernel import (
+        pack_dirs,
+        pack_rays,
+        pack_triangles,
+        pack_triangles_woop,
+    )
+
+    # Structured plane-grid mesh: Morton clusters are spatially compact, so
+    # sub-fans can actually exclude clusters (random soup clusters span the
+    # scene and nothing culls).
+    n_grid = 24
+    xs = np.linspace(-4, 4, n_grid + 1)
+    vv = [[xs[j], xs[i], 0.0] for i in range(n_grid + 1) for j in range(n_grid + 1)]
+
+    def vid(i, j):
+        return i * (n_grid + 1) + j
+
+    ff = []
+    for i in range(n_grid):
+        for j in range(n_grid):
+            ff.append([vid(i, j), vid(i, j + 1), vid(i + 1, j)])
+            ff.append([vid(i + 1, j), vid(i, j + 1), vid(i + 1, j + 1)])
+    verts = jnp.asarray(vv, jnp.float32)
+    faces = jnp.asarray(ff, jnp.int32)
+    geo = Geometry(
+        vertices=verts, faces=faces,
+        face_mat=jnp.zeros(faces.shape[0], jnp.int32),
+        face_mesh=jnp.zeros(faces.shape[0], jnp.int32),
+    )
+    origin = jnp.asarray([0.0, 0.0, 6.0])
+    # Direction correlated with ray index (a coherent "bounce tile"): the
+    # fan sweeps across the plane, so each sub-group sees a narrow window.
+    n = 4096
+    u = jnp.linspace(-0.6, 0.6, n)
+    d = jnp.stack([u, 0.05 * jnp.sin(7 * u), -jnp.ones(n)], axis=-1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    _, boxes_w = pack_triangles_woop(geo.vertices, geo.faces, origin, chunk=16)
+    dirs_soa, _, _ = pack_dirs(d, 1e30)
+
+    def listed_sets(spec):
+        monkeypatch.setenv("FF_CULL_SUBTILES", spec)
+        lists, counts = ic.tile_cluster_lists(dirs_soa, boxes_w)
+        lists, counts = np.asarray(lists), np.asarray(counts)
+        return [set(lists[i, : counts[i, 0]]) for i in range(lists.shape[0])]
+
+    base = listed_sets("1x1")
+    split = listed_sets("2x1")
+    assert all(s <= b for s, b in zip(split, base))  # conservative subset
+    assert sum(len(s) for s in split) < sum(len(b) for b in base)  # tighter
+
+    # General (per-ray origin) variant: same subset property.
+    o = jnp.broadcast_to(origin, d.shape) + 0.5 * d
+    tri, boxes_g = pack_triangles(geo.vertices, geo.faces, chunk=16)
+    rays_soa, tmax_tiles, _ = pack_rays(o, d, 1e30)
+
+    def listed_sets_g(spec):
+        monkeypatch.setenv("FF_CULL_SUBTILES", spec)
+        lists, counts = ic.tile_cluster_lists_general(
+            rays_soa, boxes_g, tmax_tiles=tmax_tiles
+        )
+        lists, counts = np.asarray(lists), np.asarray(counts)
+        return [set(lists[i, : counts[i, 0]]) for i in range(lists.shape[0])]
+
+    base_g = listed_sets_g("1x1")
+    split_g = listed_sets_g("2x1")
+    assert all(s <= b for s, b in zip(split_g, base_g))
+    assert sum(len(s) for s in split_g) < sum(len(b) for b in base_g)
+
+    # Exactness vs brute force under an aggressive split, both kernels.
+    # (Compare hit masks + t: on a structured grid a ray can hit a shared
+    # diagonal edge exactly, where prim tie-breaking order is unspecified.)
+    monkeypatch.setenv("FF_CULL_SUBTILES", "4x8")
+    ref = intersect.intersect_brute(jnp.broadcast_to(origin, d.shape), d, geo)
+    t, prim = ic.intersect_pallas_shared_culled(
+        origin, d, geo.vertices, geo.faces, interpret=True, chunk=16
+    )
+    np.testing.assert_array_equal(np.asarray(prim >= 0), np.asarray(ref.prim >= 0))
+    hit = np.asarray(prim) >= 0
+    np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(ref.t)[hit], atol=1e-4)
+    ref_g = intersect.intersect_brute(o, d, geo)
+    t_g, prim_g = ic.intersect_pallas_general_culled(
+        o, d, geo.vertices, geo.faces, interpret=True, chunk=16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prim_g >= 0), np.asarray(ref_g.prim >= 0)
+    )
+    hit_g = np.asarray(prim_g) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_g)[hit_g], np.asarray(ref_g.t)[hit_g], atol=1e-4
+    )
+
+
+def test_cull_subtiles_env_validation(monkeypatch):
+    from fireflies_tpu.render.pallas.intersect_culled import _cull_subtiles
+
+    for bad in ("", "2", "axb", "0x2", "3x5", "2x2x2"):
+        monkeypatch.setenv("FF_CULL_SUBTILES", bad)
+        try:
+            _cull_subtiles()
+            raise AssertionError(f"accepted {bad!r}")
+        except ValueError:
+            pass
+    monkeypatch.setenv("FF_CULL_SUBTILES", "4x16")
+    assert _cull_subtiles() == (4, 16)
