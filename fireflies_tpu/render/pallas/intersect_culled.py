@@ -68,9 +68,18 @@ def _cull_subtiles() -> tuple[int, int]:
     strictly tighter.  "SxL" splits the 16 sublanes into S groups (pixel-row
     strips) and the 128 lanes into L groups (pixel-column bands); with the
     128x16 pixel tiles a 2x2 split tests four 64x8-pixel quadrants.
-    "1x1" reverts to the single whole-tile box.
+
+    Default 1x1 (OFF) — MEASURED WASH at the reference workload shape
+    (r5, same tunnel window, 11.5k faces spp4 coherent static): 1x1
+    8.21/s, 2x2 8.12, 4x4 8.13, 2x8 8.05 renders/s/chip, even though the
+    lists DO tighten (mean listed clusters 291 -> 245 (2x2) -> 222 (4x4)
+    of 722 on the measured bounce load).  The culled clusters are exactly
+    the ones the kernel's in-tile slab test already skips without running
+    their triangle loops, so tightening the list removes only
+    already-cheap work.  Kept as a knob for workloads with genuinely
+    divergent tiles (the subset/exactness tests pin the mechanism).
     """
-    spec = _os.environ.get("FF_CULL_SUBTILES", "2x2")
+    spec = _os.environ.get("FF_CULL_SUBTILES", "1x1")
     parts = spec.split("x")
     try:
         ss, ls = (int(v) for v in parts)
@@ -154,10 +163,9 @@ def tile_cluster_lists(
     tile's direction box and all-dead tiles get count 0 — NEE gating then
     empties every tile outside a projector's cone before the kernel runs.
 
-    The tile is split into FF_CULL_SUBTILES (default 2x2) sub-groups, each
-    tested with its own direction box; the results OR together (see
-    _cull_subtiles — strictly tighter than one whole-tile box, still
-    conservative).
+    FF_CULL_SUBTILES="SxL" (default 1x1 = off; see _cull_subtiles for the
+    measured wash) splits the tile into sub-groups, each tested with its
+    own direction box, OR-ed — strictly tighter, still conservative.
     """
     n_rows = dirs_soa.shape[1]
     t = n_rows // SUBLANES
@@ -208,11 +216,11 @@ def tile_cluster_lists_general(
     camera-origin ray, which would blow the origin box wide open), and
     all-dead tiles get count 0.
 
-    Sub-tile split: each tile is tested as FF_CULL_SUBTILES (default 2x2)
-    sub-groups with independent origin AND direction boxes, OR-ed — for
-    coherent bounce tiles (direction correlated with position within the
-    tile) this prunes the phantom origin-A/direction-B combinations a
-    whole-tile box admits.
+    Sub-tile split (FF_CULL_SUBTILES="SxL", default 1x1 = off): sub-groups
+    with independent origin AND direction boxes, OR-ed — prunes the phantom
+    origin-A/direction-B combinations a whole-tile box admits, but the
+    pruned clusters are ones the kernel's slab gate already skips cheaply
+    (see _cull_subtiles for the measured wash at the target workload).
     """
     n_rows = rays_soa.shape[1]
     t = n_rows // SUBLANES
