@@ -108,6 +108,10 @@ def measure(
         # the intersection kernels (no per-vertex face-table gathers).
         # BENCH_STATIC_GEOM=0 measures the fully-differentiable-attrs path.
         static_geometry=bool(int(os.environ.get("BENCH_STATIC_GEOM", 1))),
+        # Share the first path vertex across spp samples (spp-invariant for
+        # delta emitters; see RenderConfig.shared_primary).  Named in the
+        # metric string whenever spp > 1 and it changes the work.
+        shared_primary=bool(int(os.environ.get("BENCH_SHARED_PRIMARY", 0))),
     )
     # This int() is ALSO the early device->host read that flips the axon
     # tunnel into EAGER execution for the rest of the process.  Without any
@@ -214,6 +218,8 @@ def measure(
             # attaches only the laser texture), so cross-round comparisons
             # must not read static vs diff-attrs as a like-for-like delta.
             + (", static-geometry" if cfg.static_geometry else ", diff-attrs")
+            + (", shared-primary"
+               if cfg.shared_primary and spp > 1 else "")
             + (", analytic-projector" if analytic_proj else "") + ")"
         ),
         "value": round(renders_per_sec, 3),
@@ -228,6 +234,7 @@ def measure(
             # "diff-attrs" entries measure the fully differentiable-attrs
             # path for comparison.
             "static_geometry": cfg.static_geometry,
+            "shared_primary": cfg.shared_primary,
             "optim_iters_per_sec": round(repeats / dt, 3),
             "renders_per_sec_dispersion": dispersion,
         },
@@ -587,6 +594,16 @@ VARIANTS = [
     # the reference-realistic target shape: records what the kernel-emitted
     # attributes buy (probe: 1546 -> 1333 ms/step same-window).
     dict(resolution=75, spp=4, repeats=5, coherent=1, static_geom=0),
+    # Shared first path vertex across spp (RenderConfig.shared_primary) at
+    # the reference workload shape: vertex-0 work (primary hit + all NEE
+    # incl. occlusion kernels) is spp-invariant for delta emitters, so spp
+    # cost drops from spp*(v0+rest) to v0+spp*rest.  Measured r5
+    # same-window vs the unshared entries: spp4 8.12 -> 13.82/s (1.70x),
+    # spp16 2.05 -> 4.20/s (2.05x).
+    dict(resolution=75, spp=4, repeats=5, coherent=1, shared=1),
+    dict(resolution=75, spp=16, repeats=3, coherent=1, shared=1),
+    # spp16 unshared: the VERDICT-r4 #8 spp-amortization record point.
+    dict(resolution=75, spp=16, repeats=3, coherent=1),
     dict(analytic=0, resolution=75, repeats=10),    # ~11.6k faces, texture
     dict(analytic=0, resolution=75, spp=4, repeats=5),
     dict(resolution=160, repeats=5),        # ~51k faces, analytic
@@ -614,7 +631,7 @@ _ENV_OF = {
     "batch": "BENCH_BATCH", "smooth": "FF_SMOOTH",
     "analytic": "BENCH_ANALYTIC_PROJ", "grad_mode": "BENCH_GRAD_MODE",
     "datagen": "BENCH_DATAGEN", "coherent": "BENCH_COHERENT",
-    "static_geom": "BENCH_STATIC_GEOM",
+    "static_geom": "BENCH_STATIC_GEOM", "shared": "BENCH_SHARED_PRIMARY",
 }
 
 

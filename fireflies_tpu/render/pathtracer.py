@@ -159,6 +159,107 @@ def _shading_normal(
     return v3m.where(has_n & ok, ns, n)
 
 
+def _sample_bounce(
+    scene: RenderScene,
+    config: RenderConfig,
+    bounce: int,
+    bkey: Array,
+    shade: dict,
+    throughput: Vec3,
+    active: Array,
+    n_rays: int,
+):
+    """BSDF-sample the next path segment from a shaded vertex.
+
+    `shade` is the vertex state captured by trace_rays' shading section:
+    params / ns / n / wo / p / d_v / tangent.  Returns the advanced ray
+    state (o, d, o_v, d_v, throughput, active, prev_pdf).  Split out of
+    trace_rays so the shared-primary spp path (_film_render_shared) can
+    resample vertex 0 per spp sample without re-shading it (see
+    RenderConfig.shared_primary).
+    """
+    params = shade["params"]
+    ns = shade["ns"]
+    n = shade["n"]
+    wo = shade["wo"]
+    p = shade["p"]
+    d_v = shade["d_v"]
+    tangent = shade["tangent"]
+    if _os.environ.get("FF_CONST_SAMPLE"):  # perf-bisection knob
+        # Mirror direction with unit pdf / grey f: removes the BSDF
+        # importance-sampling math while keeping the bounce ray
+        # data-dependent.  full - this = sample_v cost.
+        wi = (d_v - ns * (2.0 * ns.dot(d_v))).normalized()
+        pdf = jnp.ones((n_rays,), jnp.float32)
+        f = Vec3(pdf * 0.3, pdf * 0.3, pdf * 0.3)
+    elif config.coherent_bounce:
+        # Per-tile SHARED sample draws (see RenderConfig.
+        # coherent_bounce): one (u_sel, u1, u2, u3, u4) draw per
+        # 2048-ray kernel tile, broadcast to the tile's rays.
+        # Marginals stay U(0,1) per pixel; tile direction boxes
+        # narrow to the tile's normal spread, so the culled
+        # bounce kernels prune.
+        n_tiles = -(-n_rays // 2048)
+        u_tiles = jax.random.uniform(
+            jax.random.fold_in(bkey, 1), (5, n_tiles)
+        )
+        u_rays = jnp.repeat(u_tiles, 2048, axis=1)[:, :n_rays]
+        wi, pdf, f = bsdf_mod.sample_v(
+            params, ns, wo, None, tangent=tangent,
+            uniforms=tuple(u_rays),
+        )
+    else:
+        wi, pdf, f = bsdf_mod.sample_v(
+            params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
+        )
+    if (
+        config.reparam
+        and config.reparam_indirect
+        and bounce < config.reparam_ind_bounces
+    ):
+        # Warped-area reparameterization of the sampled direction:
+        # silhouettes of occluders seen from p become stationary in
+        # the gnomonic patch around wi, making indirect visibility
+        # at this vertex differentiable (render/reparam.py
+        # DirectionDomain).  Primal direction and throughput are
+        # exactly unchanged.  The warp is per-vertex, so it applies
+        # at any bounce; reparam_ind_bounces bounds the cost.
+        from fireflies_tpu.render.reparam import (  # noqa: PLC0415
+            reparam_direction,
+        )
+
+        cos_pre = n.dot(wi)
+        side_pre = jnp.where(cos_pre >= 0, 1.0, -1.0)
+        x_ind = (p + n * (side_pre * _SHADOW_EPS)).to_array()
+        d_new, area_ind = reparam_direction(
+            x_ind,
+            wi.to_array(),
+            scene.geometry,
+            jax.random.fold_in(bkey, 11),
+            k_aux=config.reparam_k_aux,
+            radius=config.reparam_ind_radius,
+            tri_chunk=config.tri_chunk,
+            backend=config.backend,
+            chunk=config.reparam_chunk,
+        )
+        wi = from_array(d_new)
+        throughput = throughput * area_ind
+    cos_i_s = n.dot(wi)  # geometric side (offsets)
+    cos_i = jnp.abs(ns.dot(wi))  # shading cosine
+    safe_pdf = jnp.maximum(pdf, 1e-6)
+    weight = jnp.where(pdf > 1e-6, cos_i / safe_pdf, 0.0)
+    throughput = throughput * f * weight
+    active = active & (throughput.max_component() > 1e-5) & (pdf > 1e-6)
+    # Offset the new origin to the side the ray leaves through.
+    side = jnp.where(cos_i_s >= 0, 1.0, -1.0)
+    o_v = p + n * (side * _SHADOW_EPS)
+    d_v = wi
+    o = o_v.to_array()
+    d = d_v.to_array()
+    prev_pdf = pdf
+    return o, d, o_v, d_v, throughput, active, prev_pdf
+
+
 def trace_rays(
     scene: RenderScene,
     o: Array,
@@ -166,11 +267,22 @@ def trace_rays(
     key: Array,
     config: RenderConfig,
     primary_origin: Array | None = None,
+    v0_capture: dict | None = None,
+    resume: dict | None = None,
 ) -> Array:
     """Path-trace radiance for rays (N, 3); returns (N, 3).
 
     `primary_origin` (3,) marks the first bounce's rays as sharing that
     origin (camera position) — enables the fast shared-origin kernel.
+
+    Shared-primary plumbing (see _film_render_shared):
+      * `v0_capture` (a dict): stop after vertex 0 is fully shaded (its
+        emission + every NEE strategy + escape background are in the
+        returned radiance) and stash the vertex state needed to resample
+        the first bounce (`shade` for _sample_bounce, plus `active`).
+      * `resume`: skip vertex 0 entirely — start the bounce loop at
+        bounce 1 from the given ray state (o_v, d_v, throughput, active,
+        prev_pdf), as produced by _sample_bounce.
     """
     n_rays = o.shape[0]
     zeros = jnp.zeros((n_rays,), jnp.float32)
@@ -231,7 +343,18 @@ def trace_rays(
     has_area_lights = scene.geometry.emissive_faces is not None
     prev_pdf = jnp.zeros((n_rays,), jnp.float32)  # bsdf pdf of the ray that got here
 
-    for bounce in range(config.max_bounces):
+    start_bounce = 0
+    if resume is not None:
+        o_v = resume["o_v"]
+        d_v = resume["d_v"]
+        o = o_v.to_array()
+        d = d_v.to_array()
+        throughput = resume["throughput"]
+        active = resume["active"]
+        prev_pdf = resume["prev_pdf"]
+        start_bounce = 1
+
+    for bounce in range(start_bounce, config.max_bounces):
         bkey = jax.random.fold_in(key, bounce)
         # Dead-ray gating for bounce passes: retired paths (escaped at an
         # earlier bounce, throughput-killed) carry t_max = -1, the kernels'
@@ -637,80 +760,23 @@ def trace_rays(
             radiance = radiance + throughput * f_a * le * scale_a
 
         # ---- Indirect bounce --------------------------------------------
+        if v0_capture is not None and bounce == 0:
+            # Vertex 0 fully shaded: hand the sampling state to the caller
+            # (shared-primary spp path) instead of advancing the path.
+            v0_capture.update(
+                shade=dict(params=params, ns=ns, n=n, wo=wo, p=p, d_v=d_v,
+                           tangent=tangent),
+                active=active,
+            )
+            return radiance.to_array()
+
         if bounce + 1 < config.max_bounces:
-            if _os.environ.get("FF_CONST_SAMPLE"):  # perf-bisection knob
-                # Mirror direction with unit pdf / grey f: removes the BSDF
-                # importance-sampling math while keeping the bounce ray
-                # data-dependent.  full - this = sample_v cost.
-                wi = (d_v - ns * (2.0 * ns.dot(d_v))).normalized()
-                pdf = jnp.ones((n_rays,), jnp.float32)
-                f = Vec3(pdf * 0.3, pdf * 0.3, pdf * 0.3)
-            elif config.coherent_bounce:
-                # Per-tile SHARED sample draws (see RenderConfig.
-                # coherent_bounce): one (u_sel, u1, u2, u3, u4) draw per
-                # 2048-ray kernel tile, broadcast to the tile's rays.
-                # Marginals stay U(0,1) per pixel; tile direction boxes
-                # narrow to the tile's normal spread, so the culled
-                # bounce kernels prune.
-                n_tiles = -(-n_rays // 2048)
-                u_tiles = jax.random.uniform(
-                    jax.random.fold_in(bkey, 1), (5, n_tiles)
-                )
-                u_rays = jnp.repeat(u_tiles, 2048, axis=1)[:, :n_rays]
-                wi, pdf, f = bsdf_mod.sample_v(
-                    params, ns, wo, None, tangent=tangent,
-                    uniforms=tuple(u_rays),
-                )
-            else:
-                wi, pdf, f = bsdf_mod.sample_v(
-                    params, ns, wo, jax.random.fold_in(bkey, 1), tangent=tangent
-                )
-            if (
-                config.reparam
-                and config.reparam_indirect
-                and bounce < config.reparam_ind_bounces
-            ):
-                # Warped-area reparameterization of the sampled direction:
-                # silhouettes of occluders seen from p become stationary in
-                # the gnomonic patch around wi, making indirect visibility
-                # at this vertex differentiable (render/reparam.py
-                # DirectionDomain).  Primal direction and throughput are
-                # exactly unchanged.  The warp is per-vertex, so it applies
-                # at any bounce; reparam_ind_bounces bounds the cost.
-                from fireflies_tpu.render.reparam import (  # noqa: PLC0415
-                    reparam_direction,
-                )
-
-                cos_pre = n.dot(wi)
-                side_pre = jnp.where(cos_pre >= 0, 1.0, -1.0)
-                x_ind = (p + n * (side_pre * _SHADOW_EPS)).to_array()
-                d_new, area_ind = reparam_direction(
-                    x_ind,
-                    wi.to_array(),
-                    scene.geometry,
-                    jax.random.fold_in(bkey, 11),
-                    k_aux=config.reparam_k_aux,
-                    radius=config.reparam_ind_radius,
-                    tri_chunk=config.tri_chunk,
-                    backend=config.backend,
-                    chunk=config.reparam_chunk,
-                )
-                wi = from_array(d_new)
-                throughput = throughput * area_ind
-            cos_i_s = n.dot(wi)  # geometric side (offsets)
-            cos_i = jnp.abs(ns.dot(wi))  # shading cosine
-            safe_pdf = jnp.maximum(pdf, 1e-6)
-            weight = jnp.where(pdf > 1e-6, cos_i / safe_pdf, 0.0)
-            throughput = throughput * f * weight
-            active = active & (throughput.max_component() > 1e-5) & (pdf > 1e-6)
-            # Offset the new origin to the side the ray leaves through.
-            side = jnp.where(cos_i_s >= 0, 1.0, -1.0)
-            o_v = p + n * (side * _SHADOW_EPS)
-            d_v = wi
-            o = o_v.to_array()
-            d = d_v.to_array()
-            prev_pdf = pdf
-
+            o, d, o_v, d_v, throughput, active, prev_pdf = _sample_bounce(
+                scene, config, bounce, bkey,
+                dict(params=params, ns=ns, n=n, wo=wo, p=p, d_v=d_v,
+                     tangent=tangent),
+                throughput, active, n_rays,
+            )
     return radiance.to_array()
 
 
@@ -758,6 +824,74 @@ def _film_render(
         scene, o, d, k_path, config, primary_origin=scene.camera.to_world[:3, 3]
     )
     return unpermute_rows(radiance, inv_perm, config.width, config.height)
+
+
+def _film_render_shared(
+    scene: RenderScene,
+    key: Array,
+    config: RenderConfig,
+    film_y0: Array | int = 0,
+    film_full_height: int | None = None,
+) -> Array:
+    """All-spp render with the FIRST path vertex shared across samples
+    (RenderConfig.shared_primary; returns (H, W, 3), replaces the per-spp
+    scan of _render_rgb_samples).
+
+    Vertex 0's work — primary closest hit, attributes, and every NEE
+    strategy including its occlusion kernels — is spp-invariant for delta
+    emitters under a fixed camera: only the BSDF bounce draw differs per
+    sample.  It is computed ONCE (trace_rays v0_capture), then each spp
+    sample resamples the bounce (_sample_bounce) and traces the remaining
+    vertices (trace_rays resume).  spp cost drops from spp x (v0 + rest)
+    to v0 + spp x rest — measured r5 (11.5k faces, 512^2, coherent
+    static-geometry, same window): see BENCH_VARIANTS.json shared-primary
+    entries.
+
+    Semantics vs the default path: ONE pixel jitter + one set of vertex-0
+    NEE aperture/area/envmap draws is shared by all spp samples, so spp
+    no longer averages antialiasing or vertex-0 penumbra noise (it still
+    averages all bounce randomness).  Per-pixel estimates stay unbiased;
+    only the noise decomposition changes.  Not compatible with reparam
+    (boundary gradients need fresh primary samples per pass).
+    """
+    k_pix, k_v0, k_spp = jax.random.split(key, 3)
+    o, d, inv_perm = camera_rays_tiled(
+        scene.camera, config.width, config.height, key=k_pix,
+        y_offset=film_y0, full_height=film_full_height,
+    )
+    cam_pos = scene.camera.to_world[:3, 3]
+    n_rays = o.shape[0]
+    cap: dict = {}
+    rad_v0 = trace_rays(
+        scene, o, d, k_v0, config, primary_origin=cam_pos, v0_capture=cap
+    )
+
+    if config.max_bounces == 1:
+        total = rad_v0
+    else:
+        ones = jnp.ones((n_rays,), jnp.float32)
+        throughput1 = Vec3(ones, ones, ones)
+
+        def body(acc, ks):
+            _o2, _d2, o_v2, d_v2, thr, act, ppdf = _sample_bounce(
+                scene, config, 0, jax.random.fold_in(ks, 0),
+                cap["shade"], throughput1, cap["active"], n_rays,
+            )
+            rest = trace_rays(
+                scene, _o2, _d2, ks, config,
+                resume=dict(o_v=o_v2, d_v=d_v2, throughput=thr,
+                            active=act, prev_pdf=ppdf),
+            )
+            return acc + rest, None
+
+        keys = jax.random.split(k_spp, config.spp)
+        rest_total, _ = jax.lax.scan(
+            body, jnp.zeros((n_rays, 3), jnp.float32), keys
+        )
+        total = rad_v0 + rest_total / config.spp
+
+    img = unpermute_rows(total, inv_perm, config.width, config.height)
+    return img.reshape(config.height, config.width, 3)
 
 
 def _film_render_reparam(
@@ -858,6 +992,12 @@ def _render_rgb_samples(
     film_y0: Array | int = 0,
     film_full_height: int | None = None,
 ) -> Array:
+    if config.shared_primary and not config.reparam and not config.ray_chunk:
+        # Shared first vertex across spp (see _film_render_shared).  reparam
+        # needs fresh primary samples per pass and ray_chunk re-chunks the
+        # film inside trace_rays; both keep the per-spp scan below.
+        return _film_render_shared(scene, key, config, film_y0, film_full_height)
+
     keys = jax.random.split(key, config.spp)
 
     def body(acc, k):

@@ -386,6 +386,16 @@ class RenderConfig(struct.PyTreeNode):
     # CORRELATION changes (tile-blocky instead of white at low spp).
     # Requires tile-major ray order (the render_rgb path).
     coherent_bounce: bool = struct.field(pytree_node=False, default=False)
+    # Share the FIRST path vertex across spp samples: primary closest hit,
+    # attributes, and all vertex-0 NEE (including its occlusion kernels)
+    # are computed once per render instead of once per spp sample — only
+    # the BSDF bounce draw and the remaining vertices stay per-sample.
+    # Vertex-0 work is spp-invariant for delta emitters under a fixed
+    # camera, so estimates stay unbiased; what changes is the noise
+    # decomposition (one shared pixel jitter -> spp no longer averages
+    # antialiasing or vertex-0 penumbra noise).  Ignored with reparam
+    # (boundary gradients need fresh primary samples) and ray_chunk.
+    shared_primary: bool = struct.field(pytree_node=False, default=False)
     # Static-geometry fast path: hit attributes (position, geometric
     # normal, material id) come straight from the intersection kernels
     # instead of the differentiable face-table re-derivation, skipping the
