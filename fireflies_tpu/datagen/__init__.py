@@ -124,6 +124,37 @@ def generate_dataset(
     return count
 
 
+def generate_dataset_parallel(
+    render_fn: Callable[[Array, Array], tuple[Array, Array]],
+    n_frames: int,
+    out_dir: str | os.PathLike,
+    key: Array,
+    mesh,
+    per_device: int = 4,
+    **kwargs,
+) -> int:
+    """generate_dataset scaled across a device mesh (reference main.py's
+    10k-frame loop as one SPMD dispatch per batch).
+
+    `render_fn(key, step) -> (image, segmentation)` renders ONE frame; it is
+    lifted with parallel.variant_parallel so each dispatch renders
+    n_devices * per_device frames, one variant batch per device, sharded
+    over `mesh`.  Host-side rejection + PNG writing consume the gathered
+    batch exactly as in the single-chip path (np.asarray on the sharded
+    output is the device->host gather).  kwargs pass through to
+    generate_dataset (rejection, eval_mode, max_dispatches).
+    """
+    import jax  # noqa: PLC0415
+
+    from fireflies_tpu import parallel  # noqa: PLC0415
+
+    batched = jax.jit(parallel.variant_parallel(render_fn, mesh))
+    batch = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) * per_device
+    return generate_dataset(
+        batched, n_frames, out_dir, key, batch=batch, **kwargs
+    )
+
+
 def spp_buckets(
     key: Array, buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
 ) -> int:

@@ -181,3 +181,32 @@ def test_all_gather_frames(mesh):
     gathered = parallel.all_gather_frames(mesh, frames)
     assert gathered.shape == (16, 1)
     np.testing.assert_allclose(np.asarray(gathered).ravel(), np.arange(16.0))
+
+
+def test_generate_dataset_parallel(mesh, tmp_path):
+    """Dataset farm over the mesh: one SPMD dispatch renders a variant
+    batch per device; host rejection + PNG writing consume the gathered
+    batch (VERDICT r4 #6)."""
+    from fireflies_tpu import datagen
+    from fireflies_tpu.render import integrators
+
+    scene, kw = ff_scenes.hello_world()
+    bridge = SceneBridge(scene, **kw)
+    randomize = scene.compile()
+    cfg = RenderConfig(width=8, height=8, spp=1, max_bounces=1, tri_chunk=16)
+
+    def render_one(key, step):
+        rs = bridge.assemble(randomize(key, step))
+        img = jnp.clip(render_rgb(rs, key, cfg), 0.0, 1.0)
+        seg = integrators.render_segmentation(rs, cfg)
+        return img, seg
+
+    got = datagen.generate_dataset_parallel(
+        render_one, n_frames=10, out_dir=tmp_path, key=jax.random.key(3),
+        mesh=mesh, per_device=2,
+        rejection=datagen.RejectionConfig(min_coverage=0.0, max_components=99),
+    )
+    assert got == 10
+    imgs = sorted((tmp_path / "images").glob("*.png"))
+    segs = sorted((tmp_path / "segmentations").glob("*.png"))
+    assert len(imgs) == 10 and len(segs) == 10
