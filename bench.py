@@ -631,13 +631,19 @@ VARIANTS = [
     # Boundary-gradient (pose-fitting) workloads — the capability the
     # reference buys from Mitsuba's reparameterized AD:
     dict(grad_mode="pose_soft", repeats=10),
-    # pose_reparam at 256^2: the 512^2 grad kills the chip (TPU device
-    # error at warmup) even with the warp chunks checkpointed — the
-    # forward alone at 512^2 runs ~8 min/step through the tunnel, so the
-    # production recipe for boundary gradients at 512^2 remains pose_soft
-    # (26/s); this entry records what warped-area reparam costs at the
-    # largest film that executes.
-    dict(grad_mode="pose_reparam", repeats=2, batch=4, size=256),
+    # pose_reparam memory envelope (measured r5 bisection): the r4 "512^2
+    # kills the chip" was a CONFIG limit, not a mechanism limit — chunk
+    # 2048 x batch 4 dies at 256^2 already (TPU device error at warmup),
+    # while chunk 1024 x batch 2 executes at 256^2 (0.036 renders/s) and
+    # the chunked-scan transient scales with chunk x batch only, so the
+    # same config executes at 512^2.  Chunk 512 vs 1024 is speed-identical
+    # (the warp is memory-enveloped, not dispatch-bound).  pose_soft stays
+    # the production recipe; these entries record what Mitsuba-equivalent
+    # warped-area AD costs at 256^2 and at the flagship film.
+    dict(grad_mode="pose_reparam", repeats=1, batch=2, size=256,
+         reparam_chunk=1024, trials=2),
+    dict(grad_mode="pose_reparam", repeats=1, batch=2, size=512,
+         reparam_chunk=1024, trials=2),
     # Production dataset farm: render+seg+postproc+rejection+png (VERDICT
     # r3 #5; reference main.py:147-193).
     dict(datagen=1),
@@ -651,6 +657,7 @@ _ENV_OF = {
     "analytic": "BENCH_ANALYTIC_PROJ", "grad_mode": "BENCH_GRAD_MODE",
     "datagen": "BENCH_DATAGEN", "coherent": "BENCH_COHERENT",
     "static_geom": "BENCH_STATIC_GEOM", "shared": "BENCH_SHARED_PRIMARY",
+    "reparam_chunk": "BENCH_REPARAM_CHUNK", "trials": "BENCH_TRIALS",
 }
 
 

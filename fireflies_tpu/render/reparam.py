@@ -726,13 +726,24 @@ def reparam_direction(
     reparam_ndc (Mitsuba capability: reparameterized integrators behind
     reference main.py:6).
 
-    KEEP `radius` SMALL (~0.15 tangent units, ~8.5 deg).  The warp's
-    divergence is taken in the flat tangent-plane coordinates; the
-    gnomonic map's measure distortion grows as |u| does, and features are
-    evaluated out to scout_mult * radius.  Measured on the analytic
-    blocker scene (tests/test_reparam_indirect.py): radius 0.15 matches
-    finite differences within noise, 0.30 delivers 47% of the flux,
-    0.50 only 18%."""
+    KEEP `radius` SMALL (~0.05 tangent units, ~2.9 deg — the default).
+    The captured boundary flux is radius-dependent: the warp's windowed
+    feature blend dilutes edge velocity over scales ~ win = 1.8 * radius,
+    and the gnomonic measure distortion grows with the feature offsets
+    (features are evaluated out to scout_mult * radius).  Measured r5
+    against a DETERMINISTIC quadrature-FD reference (truth 0.413 +- 0.003,
+    resolution-independent) on the blocker scene of
+    tests/test_reparam_indirect.py, 48^2 film, 8 seeds:
+      radius 0.05 -> +1% +- 7%   (unbiased; per-seed std ~0.08)
+      radius 0.08 -> -12%        radius 0.10 -> -14%
+      radius 0.15 -> -28%        (0.30 -> -53%, 0.50 -> -82% r3 data)
+    The same trend reproduces at a single shading point against an exact
+    hemisphere quadrature (ratios 0.96 / 0.92 / 0.89 at 0.05/0.10/0.15),
+    so the loss is the per-ray estimator's, not the film pipeline's.
+    Denser aux does NOT help (k_aux 16 at radius 0.10 measured -27%);
+    radius is the lever.  Earlier MC finite-difference references wobbled
+    +-6% seed-to-seed at 8 seeds (heavy-tailed CRN jumps) — bias claims
+    here use the quadrature witness (render/quadrature.py) instead."""
     m = k_aux + _n_scout(k_aux)
 
     def one_chunk(x_i, w_i):

@@ -14,8 +14,24 @@ the indirect reparameterization:
 Moving the blocker changes only one-bounce indirect visibility: the
 detached renderer's gradient is exactly zero, the primary-NDC warp sees
 nothing (the blocker is never on screen), and shadow features are off.
-Reference: central finite differences of the primal with common random
-numbers (the shadow-test recipe).
+
+REFERENCE (r5 rework): finite differences through the DETERMINISTIC
+quadrature witness (render/quadrature.py) with a subpixel area average —
+no MC seed noise at all.  The earlier common-random-number MC-FD reference
+wobbled +-6% seed-to-seed at 8 seeds (heavy-tailed: pixels whose
+visibility flips inside the +-h window contribute 1/h-scaled jumps);
+quadrature-FD is stable to +-1% across node counts, h, and film
+resolution (measured 0.411 / 0.413 / 0.416 / 0.413 over a Richardson
+grid), which is what makes a 0.15 relative tolerance assertable at all.
+
+BIAS CHARACTERIZATION (r5, 8 seeds vs quadrature truth 0.413): the
+captured boundary flux depends on the warp's aux-disk radius —
+r=0.15 -> -28%, 0.10 -> -14%, 0.08 -> -12%, 0.05 -> +1% +- 7% (SEM).
+Same trend at a single shading point against an exact hemisphere
+quadrature (0.89 / 0.92 / 0.96 of truth at 0.15 / 0.10 / 0.05), so the
+loss is the per-ray estimator's, not the film pipeline's; k_aux 16 at
+radius 0.10 measured -27% (denser aux does NOT help).  Hence the
+RenderConfig default reparam_ind_radius = 0.05.
 """
 
 import numpy as np
@@ -69,18 +85,29 @@ def _scene(dx):
     )
 
 
-def _fd_reference(dx0=0.0, h=0.15, res=48, spp=8, seeds=4):
-    cfg = RenderConfig(width=res, height=res, spp=spp, max_bounces=2, tri_chunk=16)
+def _quadrature_reference(res=48, h=0.15, n_mu=32, n_phi=64, sub=4, chunk=1024):
+    """d/dx of the film-averaged red channel via the deterministic
+    quadrature witness: a sub x sub subpixel grid area-averages each pixel
+    (removing pixel-center aliasing of the moving shadow edge), and the
+    FD step h spans many quadrature-node flips.  Richardson-checked r5:
+    0.4112 at (32, 64, h .15), 0.4132 at (48, 96, h .15), 0.4160 at
+    (48, 96, h .075), 0.4129 at res 32 — truth 0.413 +- 0.003."""
+    from fireflies_tpu.render.quadrature import radiance_quadrature
+    from fireflies_tpu.render.rays import pixel_to_ndc, rays_from_ndc
 
-    def mean_img(dx, s):
-        return float(
-            jnp.mean(render_rgb(_scene(jnp.asarray(dx)), jax.random.key(s), cfg)[..., 0])
-        )
+    def mean_img(dx):
+        scene = _scene(jnp.asarray(dx))
+        xs = (jnp.arange(res * sub, dtype=jnp.float32) + 0.5) / sub
+        px, py = jnp.meshgrid(xs, xs)
+        u = pixel_to_ndc(px.reshape(-1), py.reshape(-1), res, res)
+        o, d = rays_from_ndc(scene.camera, u)
+        f = jax.jit(lambda o_, d_: radiance_quadrature(
+            scene, o_, d_, max_bounces=2, n_mu=n_mu, n_phi=n_phi)[:, 0])
+        vals = [np.asarray(f(o[i:i + chunk], d[i:i + chunk]))
+                for i in range(0, o.shape[0], chunk)]
+        return float(np.mean(np.concatenate(vals)))
 
-    fds = [
-        (mean_img(dx0 + h, s) - mean_img(dx0 - h, s)) / (2 * h) for s in range(seeds)
-    ]
-    return float(np.mean(fds)), fds
+    return (mean_img(h) - mean_img(-h)) / (2.0 * h)
 
 
 def test_detached_renderer_zero_indirect_gradient():
@@ -93,61 +120,25 @@ def test_detached_renderer_zero_indirect_gradient():
     assert abs(g) < 1e-7
 
 
-def _impl_indirect_gradient():
-    """The actual computation for test_indirect_silhouette_gradient_matches_fd.
+def test_indirect_silhouette_gradient_matches_quadrature():
+    ref = _quadrature_reference()
+    # Pins the reference setup itself (measured 0.4112; moving blocker +x
+    # unshadows the frame-center receiver, so the mean brightens).
+    assert 0.37 < ref < 0.46, ref
 
-    Run via `python tests/test_reparam_indirect.py --impl` in a FRESH
-    process: this reparam-indirect grad is the heaviest XLA:CPU compile in
-    the suite and segfaults jaxlib's backend_compile when run late in a
-    long shared pytest process, while passing reliably standalone.  Prints
-    one JSON line with the gradient estimate and the FD reference.
-    """
-    ref, fds = _fd_reference()
-    # reparam_ind_radius: keep the gnomonic aux disk SMALL.  Measured
-    # (32x32, spp 2, k_aux 8, 10 seeds, FD ref 0.373 +- 0.019):
-    #   radius 0.15 -> 0.383 +- 0.026 (unbiased within noise)
-    #   radius 0.30 -> 0.175 (47%)   radius 0.50 -> 0.063 (18%)
-    # — at large tangent-plane offsets the gnomonic measure distortion
-    # breaks the flat-domain divergence, collapsing the boundary flux.
     cfg = RenderConfig(
-        width=48, height=48, spp=4, max_bounces=2, tri_chunk=16,
+        width=48, height=48, spp=2, max_bounces=2, tri_chunk=16,
         reparam=True, reparam_indirect=True, reparam_k_aux=8,
-        reparam_ind_radius=0.15,
+        reparam_ind_radius=0.05,
     )
 
     def loss(dx, s):
         return jnp.mean(render_rgb(_scene(dx), jax.random.key(s), cfg)[..., 0])
 
-    grads = [float(jax.grad(loss)(jnp.asarray(0.0), s)) for s in range(3)]
-    return {"g": float(np.mean(grads)), "ref": ref, "fds": fds, "grads": grads}
-
-
-def test_indirect_silhouette_gradient_matches_fd():
-    import json
-    import os
-    import subprocess
-    import sys
-
-    # The child interpreter's sys.path[0] is tests/, not the repo root, so
-    # make the package importable explicitly (callers may not have the repo
-    # on PYTHONPATH).
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--impl"],
-        capture_output=True, text=True, timeout=5000, env=env, cwd=repo_root,
-    )
-    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
-    r = json.loads(out.stdout.strip().splitlines()[-1])
-    assert r["ref"] > 1e-3  # moving blocker +x unshadows frame-center receiver
-    assert r["g"] == pytest.approx(r["ref"], rel=0.35), r
-
-
-if __name__ == "__main__":
-    import json
-    import sys
-
-    if "--impl" in sys.argv:
-        jax.config.update("jax_platforms", "cpu")  # no conftest in a bare run
-        print(json.dumps(_impl_indirect_gradient()))
+    gfn = jax.jit(jax.grad(loss))
+    # Fixed seeds make this deterministic per build: measured mean 0.417
+    # (+1.0% of truth), per-seed std 0.083 -> SEM 0.029 at 8 seeds.  The
+    # 0.15 tolerance is ~2 SEM below / ~1.9 SEM above the measured mean.
+    grads = [float(gfn(jnp.asarray(0.0), s)) for s in range(8)]
+    g = float(np.mean(grads))
+    assert g == pytest.approx(ref, rel=0.15), (g, ref, grads)

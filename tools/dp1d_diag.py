@@ -1,0 +1,144 @@
+"""Diagnose the dp1d weak-scaling overhead (VERDICT r4 #7).
+
+MULTICHIP_SCALING.json shows 1-D variant-DP (`psum_grad_step`) carrying a
+~1.2-1.4x overhead_vs_serial on the virtual CPU mesh while the 2-D
+dp x tiles composition sits near 1.0x.  The collective payload cannot
+explain it (the pattern grad is a (64, 3) ray table + a scalar pmean — a
+few KiB per step), so this harness separates the candidate causes with
+controls, all at the scaling table's own workload (32x32 film, 8-res
+vocalfold, spp1 bounces2):
+
+  dp1d        — psum_grad_step as recorded in the table (pmean inside).
+  dp1d_nocoll — identical shard_map, pmean REMOVED (per-device grads
+                returned sharded).  If the overhead persists here, it is
+                the multi-device XLA:CPU runtime itself (one thread pool
+                per virtual device contending for one core), not the
+                collectives.
+  vmap_1dev   — the same k-variant batch vmapped on ONE device.  If THIS
+                also shows >1 "overhead", k x t_1 was never the right
+                serial ideal (batched rendering is super-linear in k on
+                this host, e.g. cache working-set growth), and the table's
+                denominator — not the parallel composition — is the story.
+
+Run on an otherwise-idle box (the 1-core host makes co-running jobs show
+up directly in the timings):
+
+    python tools/dp1d_diag.py          # prints one JSON row per point
+                                       # and appends a diagnosis to
+                                       # MULTICHIP_SCALING.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as ge  # noqa: E402
+
+N_DEV = 8
+
+
+def main() -> None:
+    if not ge._force_cpu_mesh(N_DEV):
+        raise SystemExit("CPU mesh unavailable (backend already initialized?)")
+
+    import jax
+    import jax.numpy as jnp
+
+    from fireflies_tpu import parallel
+    from fireflies_tpu.render import render_rgb
+
+    forward, randomize, bridge, cfg, rays0, texture = ge._flagship(
+        size=32, spp=1, bounces=2, resolution=8
+    )
+
+    def loss_fn(params, key):
+        p = dict(randomize(key, 0))
+        p["tex.data"] = texture(params["rays"])
+        img = render_rgb(bridge.assemble(p), key, cfg)
+        return -jnp.mean(img[..., 1])
+
+    params = {"rays": rays0}
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def nocoll_step(mesh):
+        """psum_grad_step minus the collectives: per-device grads stay sharded."""
+
+        def local(params, keys):
+            losses, grads = jax.vmap(lambda k: grad_fn(params, k))(keys)
+            return jnp.mean(losses)[None], jax.tree.map(
+                lambda g: jnp.mean(g, axis=0)[None], grads
+            )
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(), jax.sharding.PartitionSpec("variants")),
+            out_specs=(
+                jax.sharding.PartitionSpec("variants"),
+                jax.sharding.PartitionSpec("variants"),
+            ),
+            check_vma=False,
+        )
+
+    def timed(fn, *args, n_iter=4, trials=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / n_iter
+            best = dt if best is None else min(best, dt)
+        return best
+
+    rows = []
+    t1 = None
+    ks = [1, 2, 4, 8]
+    for k in ks:
+        mesh = parallel.make_mesh(k)
+        keys = parallel.shard_keys(mesh, jax.random.key(2), per_device=1)
+
+        dt_dp = timed(jax.jit(parallel.psum_grad_step(loss_fn, mesh)), params, keys)
+        t1 = dt_dp if k == 1 else t1
+        rows.append({"mode": "dp1d", "devices": k, "ms": round(dt_dp * 1e3, 2),
+                     "x_ideal": round(dt_dp / (k * t1), 3)})
+
+        dt_nc = timed(jax.jit(nocoll_step(mesh)), params, keys)
+        rows.append({"mode": "dp1d_nocoll", "devices": k, "ms": round(dt_nc * 1e3, 2),
+                     "x_ideal": round(dt_nc / (k * t1), 3)})
+
+        # Same k-variant batch on ONE device (vmap only, no mesh).
+        keys_flat = jax.random.split(jax.random.key(2), k)
+        vstep = jax.jit(lambda p, ks_: jax.tree.map(
+            lambda x: jnp.mean(x, axis=0) if x.ndim else x,
+            jax.vmap(lambda kk: grad_fn(p, kk))(ks_),
+        ))
+        dt_v = timed(vstep, params, keys_flat)
+        rows.append({"mode": "vmap_1dev", "devices": 1, "batch": k,
+                     "ms": round(dt_v * 1e3, 2),
+                     "x_ideal": round(dt_v / (k * t1), 3)})
+
+        for r in rows[-3:]:
+            print(json.dumps(r), flush=True)
+
+    # Attach the diagnosis to the scaling artifact.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "MULTICHIP_SCALING.json")
+    with open(path) as f:
+        table = json.load(f)
+    table = [r for r in table if r.get("mode") != "dp1d_diagnosis"]
+    table.append({"mode": "dp1d_diagnosis", "rows": rows})
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+    print(f"diagnosis -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
