@@ -527,23 +527,57 @@ def _measure_pose(
     )
     jax.block_until_ready(tgt_imgs)
 
-    def loss(delta, key):
-        def one(k, tgt_img, tgt_mask, kr):
-            rs = assembled(k, delta)
-            img = render_rgb(rs, kr, cfg)
-            if grad_mode == "pose_soft":
-                mask = render_soft_silhouette(rs, soft_cfg)
-                return hybrid_pose_loss(img, tgt_img, mask, tgt_mask)
-            return image_l2(img, tgt_img)
-
-        render_keys = jax.random.split(key, batch)
-        return jnp.mean(
-            jax.vmap(one)(variant_keys, tgt_imgs, tgt_masks, render_keys)
-        )
-
-    step = jax.jit(jax.value_and_grad(loss))
     key = jax.random.key(0)
     delta0 = zero
+    split_pipeline = grad_mode == "pose_reparam" and (
+        size >= 384 or os.environ.get("BENCH_REPARAM_SPLIT")
+    )
+    if split_pipeline:
+        # Host-split warped-area step (render/reparam.py
+        # reparam_split_value_and_grad): the tunnel kills single dispatches
+        # over ~60s and a monolithic 512^2 reparam step runs ~220s, so the
+        # step executes as a pipeline of warp-chunk dispatches + one
+        # render-grad dispatch.  Keys are FIXED across trials (the step
+        # builders bake the key chain; rebuilding per iteration would put
+        # recompiles in the timed region) — cost is key-independent.
+        from fireflies_tpu.render.reparam import (  # noqa: PLC0415
+            reparam_split_value_and_grad,
+        )
+
+        steps = [
+            reparam_split_value_and_grad(
+                lambda d, k=vk: assembled(k, d),
+                lambda img, t=tgt: image_l2(img, t),
+                jax.random.fold_in(key, 100 + i),
+                cfg,
+            )
+            for i, (vk, tgt) in enumerate(zip(variant_keys, tgt_imgs))
+        ]
+
+        def step(delta, _key):
+            pairs = [s(delta) for s in steps]
+            val = jnp.mean(jnp.stack([p[0] for p in pairs]))
+            grad = jax.tree.map(
+                lambda *gs: jnp.mean(jnp.stack(gs), axis=0),
+                *[p[1] for p in pairs],
+            )
+            return val, grad
+    else:
+        def loss(delta, key):
+            def one(k, tgt_img, tgt_mask, kr):
+                rs = assembled(k, delta)
+                img = render_rgb(rs, kr, cfg)
+                if grad_mode == "pose_soft":
+                    mask = render_soft_silhouette(rs, soft_cfg)
+                    return hybrid_pose_loss(img, tgt_img, mask, tgt_mask)
+                return image_l2(img, tgt_img)
+
+            render_keys = jax.random.split(key, batch)
+            return jnp.mean(
+                jax.vmap(one)(variant_keys, tgt_imgs, tgt_masks, render_keys)
+            )
+
+        step = jax.jit(jax.value_and_grad(loss))
     val, grad = step(delta0, key)
     jax.block_until_ready((val, grad))
 
@@ -553,7 +587,9 @@ def _measure_pose(
         t0 = time.perf_counter()
         delta = delta0
         for i in range(repeats):
-            val, grad = step(delta, jax.random.fold_in(key, trial * 1000 + i))
+            kr = key if split_pipeline else jax.random.fold_in(
+                key, trial * 1000 + i)
+            val, grad = step(delta, kr)
             delta = delta + 1e-20 * grad
         checksum = float(jnp.sum(delta))
         dt = time.perf_counter() - t0
@@ -578,6 +614,8 @@ def _measure_pose(
             "repeats": repeats, "size": size,
             "route": "analytic-beam-splat",
             "grad_mode": grad_mode,
+            **({"pipeline": "host-split", "fixed_key": True}
+               if split_pipeline else {}),
             "optim_iters_per_sec": round(repeats / dt, 3),
             "renders_per_sec_dispersion": {
                 "min": round(per_trial[0], 3),
@@ -642,8 +680,12 @@ VARIANTS = [
     # warped-area AD costs at 256^2 and at the flagship film.
     dict(grad_mode="pose_reparam", repeats=1, batch=2, size=256,
          reparam_chunk=1024, trials=2),
+    # 512^2 uses the host-split pipeline (reparam_split_value_and_grad):
+    # chunk 8192 = 32 warp dispatches/variant, each ~4s — memory is
+    # per-dispatch in split mode, so the monolithic chunk-size limit
+    # does not apply.
     dict(grad_mode="pose_reparam", repeats=1, batch=2, size=512,
-         reparam_chunk=1024, trials=2),
+         reparam_chunk=8192, trials=2),
     # Production dataset farm: render+seg+postproc+rejection+png (VERDICT
     # r3 #5; reference main.py:147-193).
     dict(datagen=1),

@@ -835,6 +835,137 @@ def _apply_warp(warp, u: Array):
     return u_new, area
 
 
+def reparam_split_value_and_grad(
+    scene_fn: Callable,
+    image_loss: Callable[[Array], Array],
+    key: Array,
+    config: RenderConfig,
+) -> Callable:
+    """Host-split warped-area pose step: value_and_grad of
+    image_loss(render_rgb(scene_fn(theta), key, config)) with
+    config.reparam=True, computed as a PIPELINE of short device dispatches
+    instead of one monolithic jit.
+
+    Why: this environment's TPU tunnel kills any single dispatch over
+    ~60s (measured r5: a forward-only 512^2 render scan survives 44s and
+    crashes the worker at 69s), and a monolithic 512^2 reparam step runs
+    ~220s.  Splitting at the warp-chunk boundary keeps every dispatch
+    ~1-2s: phase A runs the warp forward per reparam_chunk rays, phase B
+    runs the full render + loss + its gradient w.r.t. (theta, u_rep,
+    area) in one (render-sized) dispatch, phase C re-derives each warp
+    chunk's theta-cotangent from phase B's (du, darea) cotangents by
+    recomputing the chunk under jax.grad (2x warp compute, zero stored
+    residuals across dispatches).  total grad = phase-B direct + sum of
+    phase-C chunk contributions — the same chain rule the monolithic jit
+    applies, so results match render_rgb(reparam=True) to float tolerance
+    (asserted by tests/test_reparam.py::test_split_step_matches_monolithic).
+
+    Constraints: spp == 1 (the pose-bench shape), reparam_indirect off
+    (the indirect warp lives inside trace_rays and cannot be split at
+    this seam).  scene_fn(theta) -> RenderScene must be jit-traceable.
+
+    Returns step(theta) -> (loss, grad_theta); theta any pytree.
+    """
+    if config.spp != 1:
+        raise NotImplementedError("reparam_split_value_and_grad: spp must be 1")
+    if config.reparam_indirect:
+        raise NotImplementedError(
+            "reparam_split_value_and_grad: indirect warp cannot be split"
+        )
+    from fireflies_tpu.render import lights as lights_mod  # noqa: PLC0415
+    from fireflies_tpu.render.pathtracer import (  # noqa: PLC0415
+        render_rgb,
+        trace_rays,
+    )
+    from fireflies_tpu.render.rays import _tile_permutation  # noqa: PLC0415
+
+    # Mirror render_rgb's key chain EXACTLY (render_rgb -> _render_rgb_samples
+    # -> _film_render -> _film_render_reparam) so the split result is
+    # comparable to the monolithic one.
+    k_primal, k_grad = jax.random.split(key)
+    k0 = jax.random.split(k_grad, 1)[0]
+    k_pix, k_path = jax.random.split(k0)
+    k_jit, k_warp = jax.random.split(k_pix)
+
+    w, h = config.width, config.height
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys)
+    jit_xy = jax.random.uniform(k_jit, (h * w, 2))
+    u = pixel_to_ndc(
+        px.reshape(-1) + jit_xy[:, 0], py.reshape(-1) + jit_xy[:, 1], w, h
+    )
+    n = u.shape[0]
+    chunk = config.reparam_chunk or 2048
+    pad = (-n) % chunk
+    u_p = jnp.concatenate([u, jnp.broadcast_to(u[:1], (pad, 2))]) if pad else u
+    u_chunks = u_p.reshape(-1, chunk, 2)
+
+    def _warp_chunk(theta, u_i):
+        scene = scene_fn(theta)
+        positions = lights_mod.emitter_positions(scene.lights, scene.projector)
+        light_positions = jnp.stack(positions) if positions else None
+        warp = make_warp_field(
+            scene.camera, scene.geometry, k_warp,
+            k_aux=config.reparam_k_aux, radius=config.reparam_radius,
+            tri_chunk=config.tri_chunk, backend=config.backend,
+            light_positions=light_positions,
+        )
+        return _apply_warp(warp, u_i)
+
+    warp_fwd = jax.jit(_warp_chunk)
+
+    @jax.jit
+    def warp_vjp(theta, u_i, du_i, da_i):
+        def dotted(th):
+            u_new, area = _warp_chunk(th, u_i)
+            return jnp.vdot(u_new, du_i) + jnp.vdot(area, da_i)
+
+        return jax.grad(dotted)(theta)
+
+    perm, inv = _tile_permutation(w, h, 128, 16)
+    perm = jnp.asarray(perm)
+    inv = jnp.asarray(inv)
+
+    @jax.jit
+    def render_grad(theta, u_rep, area):
+        def loss_of(th, ur, ar):
+            scene = scene_fn(th)
+            primal = jax.lax.stop_gradient(
+                render_rgb(scene, k_primal, config.replace(reparam=False))
+            )
+            o, d = rays_from_ndc(scene.camera, ur)
+            radiance = trace_rays(
+                scene, o[perm], d[perm], k_path, config,
+                primary_origin=scene.camera.to_world[:3, 3],
+            )
+            g_img = (radiance * ar[perm][:, None])[inv].reshape(h, w, 3)
+            img = primal + g_img - jax.lax.stop_gradient(g_img)
+            return image_loss(img)
+
+        return jax.value_and_grad(loss_of, argnums=(0, 1, 2))(theta, u_rep, area)
+
+    def step(theta):
+        outs = [warp_fwd(theta, u_chunks[i]) for i in range(u_chunks.shape[0])]
+        u_rep = jnp.concatenate([o[0] for o in outs])[:n]
+        area = jnp.concatenate([o[1] for o in outs])[:n]
+        loss, (d_theta, du, da) = render_grad(theta, u_rep, area)
+        # Padded lanes were trimmed before phase B, so their cotangents
+        # are exactly zero.
+        if pad:
+            du = jnp.concatenate([du, jnp.zeros((pad, 2), du.dtype)])
+            da = jnp.concatenate([da, jnp.zeros((pad,), da.dtype)])
+        du_c = du.reshape(-1, chunk, 2)
+        da_c = da.reshape(-1, chunk)
+        for i in range(u_chunks.shape[0]):
+            d_theta = jax.tree.map(
+                jnp.add, d_theta, warp_vjp(theta, u_chunks[i], du_c[i], da_c[i])
+            )
+        return loss, d_theta
+
+    return step
+
+
 def render_depth_reparam(
     scene: RenderScene,
     config: RenderConfig,

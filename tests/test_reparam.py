@@ -258,3 +258,62 @@ def test_boundary_gradient_zero_when_symmetric():
     assert abs(ref) < 1e-9
     g = float(np.mean([_mean_depth_grad(0.0, seed=s) for s in range(2)]))
     assert abs(g) < 0.03  # noise floor, well below the dx=0.3 signal (~0.07)
+
+
+def test_split_step_matches_monolithic():
+    """reparam_split_value_and_grad (the host-split pipeline for films
+    whose monolithic dispatch exceeds the tunnel's ~60s budget) must
+    reproduce the monolithic RenderConfig(reparam=True) loss AND gradient
+    — same key chain, same warp chunking, same chain rule, different
+    dispatch boundaries."""
+    from fireflies_tpu.render.pathtracer import render_rgb
+    from fireflies_tpu.render.reparam import reparam_split_value_and_grad
+
+    emission = jnp.array([2.0, 1.0, 0.5], jnp.float32)
+
+    def scene_fn(dz):
+        half = HALF
+        z = Z + dz
+        verts = jnp.stack(
+            [
+                jnp.stack([-half + 0 * dz, -half + 0 * dz, z]),
+                jnp.stack([half + 0 * dz, -half + 0 * dz, z]),
+                jnp.stack([half + 0 * dz, half + 0 * dz, z]),
+                jnp.stack([-half + 0 * dz, half + 0 * dz, z]),
+            ]
+        )
+        faces = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        geo = Geometry(
+            vertices=verts,
+            faces=faces,
+            face_mat=jnp.zeros(2, jnp.int32),
+            face_mesh=jnp.zeros(2, jnp.int32),
+        )
+        mats = Materials.default(1).replace(emission=emission[None, :])
+        return RenderScene(
+            geometry=geo,
+            materials=mats,
+            lights=Lights.empty(),
+            camera=Camera.create(jnp.eye(4), fov=FOV),
+        )
+
+    cfg = RenderConfig(
+        width=32, height=32, spp=1, max_bounces=1, tri_chunk=16,
+        reparam=True, reparam_k_aux=4, reparam_radius=0.06,
+        reparam_chunk=256,
+    )
+    key = jax.random.key(3)
+
+    def image_loss(img):
+        return jnp.mean(img * img)  # nonlinear: exercises the decorrelated path
+
+    def mono(dz):
+        return image_loss(render_rgb(scene_fn(dz), key, cfg))
+
+    l_mono, g_mono = jax.value_and_grad(mono)(jnp.asarray(0.0))
+    step = reparam_split_value_and_grad(scene_fn, image_loss, key, cfg)
+    l_split, g_split = step(jnp.asarray(0.0))
+
+    np.testing.assert_allclose(float(l_split), float(l_mono), rtol=1e-5)
+    assert abs(float(g_mono)) > 1e-4  # boundary term present (moving quad)
+    np.testing.assert_allclose(float(g_split), float(g_mono), rtol=1e-3)
