@@ -21,10 +21,20 @@ r5 bisection (all measured, 8x8 film, spp 2):
     at an attainable degenerate input) somewhere in that chain turning
     an analytically-zero cotangent into inf * 0.
 
-Vec3.normalized, _d_ggx_stable, _lobe_probs, _frame (Frisvad), and the
-double-where inv_det guards were all audited safe; the remaining
-suspects are inside pdf_v/evaluate_v's half-vector algebra.  Marked
-xfail until root-caused.
+Decisive final bisection (monkeypatched _sample_bounce, same repro):
+  * stop_gradient on the bounce-1 OUTPUT RAY (o, d) -> still NaN;
+  * stop_gradient on the bounce-1 THROUGHPUT -> clean 0.0.
+So the NaN is born on the backward chain
+    vertex-1 shading normal ns -> cos_i = |ns . wi| -> throughput,
+NOT on the ray/position path: the cotangent arriving at the vertex-1
+attrs' normal (face-table gather -> e1 x e2 -> normalized -> flip) is
+already NaN.  Since stubbing pdf_v/evaluate_v to constants does NOT
+clear it, the inf/NaN factor multiplying that cotangent is in the
+throughput product's backward itself (thr * f * cos_i/safe_pdf chain
+across the two bounces), e.g. an inf-magnitude f or pdf reached on a
+masked lane.  Vec3.normalized, _d_ggx_stable, _lobe_probs, _frame
+(Frisvad), abs-at-zero, and the double-where inv_det guards all audit
+safe individually.  Marked xfail until root-caused.
 """
 
 import jax
